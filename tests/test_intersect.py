@@ -1,0 +1,202 @@
+"""Analytic intersection tests: sphere, rect, cuboid faces, light pdfs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bendy_tpu.ops.intersect import (
+    FACE_BACK,
+    FACE_FRONT,
+    FACE_VOLUME,
+    FACE_VOLUME_BACK,
+    FACE_VOLUME_FRONT,
+    light_pdf,
+    nearest_hit,
+)
+from bendy_tpu.scene import Data, DensityMap, Material, Object, ObjectFlags, Scene, Sphere, compile_scene
+from bendy_tpu.scene.graph import Cuboid, Rect
+
+
+def single_sphere_scene(radius=1.0, center=(0, 0, -5), volume=False):
+    scene = Scene()
+    mat = scene.add_data(Data(Material.diffuse((0.5, 0.5, 0.5), 1.0)))
+    vol = scene.add_data(Data(DensityMap.with_value(4, 4, 4, 1.0))) if volume else None
+    scene.add_object(
+        Object(Sphere(material=mat, radius=radius, volume=vol)).with_translation(center).with_flags(
+            ObjectFlags.LIGHT
+        )
+    )
+    return scene
+
+
+def trace_one(scene, org, dir, cmin=0.01, cmax=1000.0, **kw):
+    arr = compile_scene(scene)
+    org = jnp.asarray([org], jnp.float32)
+    dir = jnp.asarray([dir], jnp.float32)
+    B = org.shape[0]
+    return nearest_hit(org, dir, jnp.full(B, cmin), jnp.full(B, cmax), arr, **kw), arr
+
+
+class TestSphere:
+    def test_head_on(self):
+        hit, _ = trace_one(single_sphere_scene(), [0, 0, 0], [0, 0, -1])
+        assert bool(hit.valid[0])
+        assert float(hit.t[0]) == pytest.approx(4.0)
+        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+        assert int(hit.face[0]) == FACE_FRONT
+
+    def test_from_inside_far_root(self):
+        """Near root behind: reference falls back to the far root
+        (``sphere.rs:139-145``)."""
+        hit, _ = trace_one(single_sphere_scene(), [0, 0, -5], [0, 0, -1])
+        assert float(hit.t[0]) == pytest.approx(1.0)
+        # back face: normal flipped toward the ray
+        assert int(hit.face[0]) == FACE_BACK
+        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+
+    def test_miss(self):
+        hit, _ = trace_one(single_sphere_scene(), [0, 0, 0], [0, 1, 0])
+        assert not bool(hit.valid[0])
+        assert int(hit.face[0]) == -1
+
+    def test_clip_min_excludes(self):
+        hit, _ = trace_one(single_sphere_scene(), [0, 0, -3.9999], [0, 0, -1], cmin=0.01)
+        # near surface 1e-4 away is inside clip_min: far root at ~2 wins
+        assert float(hit.t[0]) == pytest.approx(2.0, abs=1e-3)
+
+    def test_volume_faces(self):
+        hit, _ = trace_one(single_sphere_scene(volume=True), [0, 0, 0], [0, 0, -1])
+        assert int(hit.face[0]) == FACE_VOLUME_FRONT
+        hit, _ = trace_one(single_sphere_scene(volume=True), [0, 0, -5], [0, 0, -1])
+        assert int(hit.face[0]) == FACE_VOLUME_BACK
+
+    def test_interior_march_pseudo_hit(self):
+        """Inside test at t = clip.max (``sphere.rs:150-166``)."""
+        scene = single_sphere_scene(volume=True)
+        arr = compile_scene(scene)
+        org = jnp.asarray([[0, 0, -5]], jnp.float32)
+        dir = jnp.asarray([[0, 0, -1]], jnp.float32)
+        hit = nearest_hit(
+            org, dir, jnp.zeros(1), jnp.full(1, 0.1), arr,
+            march=jnp.array([True]), last_sphere=jnp.array([0]),
+        )
+        assert bool(hit.valid[0])
+        assert int(hit.face[0]) == FACE_VOLUME
+        assert float(hit.t[0]) == pytest.approx(0.1)
+        np.testing.assert_allclose(hit.normal[0], 0.0)
+
+    def test_interior_march_exit(self):
+        """Point at t=step outside: falls back to the surface hit."""
+        scene = single_sphere_scene(volume=True)
+        arr = compile_scene(scene)
+        org = jnp.asarray([[0, 0, -5.95]], jnp.float32)
+        dir = jnp.asarray([[0, 0, -1]], jnp.float32)
+        hit = nearest_hit(
+            org, dir, jnp.zeros(1), jnp.full(1, 0.1), arr,
+            march=jnp.array([True]), last_sphere=jnp.array([0]),
+        )
+        assert bool(hit.valid[0])
+        assert int(hit.face[0]) == FACE_VOLUME_BACK
+        assert float(hit.t[0]) == pytest.approx(0.05, abs=1e-5)
+
+
+class TestRect:
+    def scene(self):
+        scene = Scene()
+        mat = scene.add_data(Data(Material.diffuse((0.5, 0.5, 0.5), 1.0)))
+        scene.add_object(
+            Object(Rect.from_edges(mat, [1.0, 0, 0], [0, 1.0, 0])).with_translation([0, 0, -3])
+            .with_flags(ObjectFlags.LIGHT)
+        )
+        return scene
+
+    def test_hit_and_face(self):
+        hit, _ = trace_one(self.scene(), [0, 0, 0], [0, 0, -1])
+        assert float(hit.t[0]) == pytest.approx(3.0)
+        assert int(hit.face[0]) == FACE_FRONT
+        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+
+    def test_back_face(self):
+        hit, _ = trace_one(self.scene(), [0, 0, -6], [0, 0, 1])
+        assert int(hit.face[0]) == FACE_BACK
+        np.testing.assert_allclose(hit.normal[0], [0, 0, -1], atol=1e-6)
+
+    def test_containment(self):
+        hit, _ = trace_one(self.scene(), [1.01, 0, 0], [0, 0, -1])
+        assert not bool(hit.valid[0])
+        hit, _ = trace_one(self.scene(), [0.99, 0.99, 0], [0, 0, -1])
+        assert bool(hit.valid[0])
+
+    def test_parallel_reject(self):
+        hit, _ = trace_one(self.scene(), [0, 0, -3.0], [1, 0, 0])
+        assert not bool(hit.valid[0])
+
+
+class TestCuboid:
+    def test_nearest_face(self):
+        scene = Scene()
+        mat = scene.add_data(Data(Material.diffuse((0.5, 0.5, 0.5), 1.0)))
+        scene.add_object(
+            Object(Cuboid.from_axes(mat, [1, 0, 0], [0, 1, 0], [0, 0, 1]))
+            .with_translation([0, 0, -5])
+            .with_flags(ObjectFlags.LIGHT)
+        )
+        hit, _ = trace_one(scene, [0, 0, 0], [0, 0, -1])
+        assert float(hit.t[0]) == pytest.approx(4.0)  # nearest face at z=-4
+        # reference quirk: cuboid face bases point inward (the +z face is
+        # built from (-x, y), ``cuboid.rs:19-30``), so an outside hit is a
+        # BACK face whose normal gets flipped toward the ray
+        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+        assert int(hit.face[0]) == FACE_BACK
+        # from the inside, the far face at z=-6 reports FRONT
+        hit, _ = trace_one(scene, [0, 0, -5], [0, 0, -1])
+        assert float(hit.t[0]) == pytest.approx(1.0)
+        assert int(hit.face[0]) == FACE_FRONT
+        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+
+
+class TestLightPdf:
+    def test_sphere_pdf(self):
+        """pdf = t² / (π r²) (``sphere.rs:44-61``)."""
+        scene = single_sphere_scene(radius=1.0, center=(0, 0, -5))
+        arr = compile_scene(scene)
+        org = jnp.zeros((1, 3))
+        dir = jnp.asarray([[0, 0, -1.0]])
+        pdf = light_pdf(org, dir, jnp.full(1, 0.01), jnp.full(1, 1000.0), arr, jnp.array([0]))
+        assert float(pdf[0]) == pytest.approx(16.0 / np.pi, rel=1e-5)
+
+    def test_sphere_pdf_miss_is_zero(self):
+        scene = single_sphere_scene()
+        arr = compile_scene(scene)
+        pdf = light_pdf(
+            jnp.zeros((1, 3)), jnp.asarray([[0, 1.0, 0]]),
+            jnp.full(1, 0.01), jnp.full(1, 1000.0), arr, jnp.array([0]),
+        )
+        assert float(pdf[0]) == 0.0
+
+    def test_rect_pdf(self):
+        """pdf = t² / (area · |d·n|) (``rect.rs:92-108``)."""
+        scene = Scene()
+        mat = scene.add_data(Data(Material.emissive((1, 1, 1), 5.0)))
+        scene.add_object(
+            Object(Rect.from_edges(mat, [1.0, 0, 0], [0, 2.0, 0]))
+            .with_translation([0, 0, -4])
+            .with_flags(ObjectFlags.LIGHT)
+        )
+        arr = compile_scene(scene)
+        pdf = light_pdf(
+            jnp.zeros((1, 3)), jnp.asarray([[0, 0, -1.0]]),
+            jnp.full(1, 0.01), jnp.full(1, 1000.0), arr, jnp.array([0]),
+        )
+        assert float(pdf[0]) == pytest.approx(16.0 / (4 * 1.0 * 2.0 * 1.0), rel=1e-5)
+
+
+def test_nearest_hit_picks_closest():
+    scene = Scene()
+    mat = scene.add_data(Data(Material.diffuse((0.5, 0.5, 0.5), 1.0)))
+    scene.add_object(Object(Sphere(material=mat, radius=1.0)).with_translation([0, 0, -10]))
+    scene.add_object(Object(Rect.from_edges(mat, [5, 0, 0], [0, 5, 0])).with_translation([0, 0, -6]))
+    scene.add_object(Object(Sphere(material=mat, radius=1.0)).with_translation([0, 0, -3]).with_flags(ObjectFlags.LIGHT))
+    hit, _ = trace_one(scene, [0, 0, 0], [0, 0, -1])
+    assert float(hit.t[0]) == pytest.approx(2.0)
+    assert int(hit.sphere_row[0]) >= 0

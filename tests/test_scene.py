@@ -1,0 +1,161 @@
+"""Scene graph, (de)serialization, and compiler tests.
+
+The five bundled assets are the contract: they must load, round-trip
+through our writer byte-compatibly at the JSON-value level, and compile to
+the expected SoA shapes.
+"""
+
+import glob
+import json
+
+import numpy as np
+import pytest
+
+from bendy_tpu.scene import (
+    Camera,
+    Cuboid,
+    Data,
+    Material,
+    Object,
+    ObjectFlags,
+    Rect,
+    Scene,
+    Sphere,
+    Update,
+    UpdateQueue,
+    compile_scene,
+    load_scene,
+)
+from bendy_tpu.scene.graph import affine_from_translation
+from bendy_tpu.scene.io import dumps_scene, loads_scene, scene_to_dict
+
+SCENES = sorted(glob.glob("scenes/*.json.gz"))
+
+
+@pytest.mark.parametrize("path", SCENES)
+def test_load_bundled(path):
+    scene = load_scene(path)
+    assert scene.find_by_tag("camera") is not None
+    assert len(scene.objects) >= 4
+    # every scene has at least one LIGHT-flagged object (the reference's
+    # diffuse shader would panic otherwise, material.rs:112)
+    lights = [o for o in scene.iter() if o.has_flags(ObjectFlags.LIGHT)]
+    assert lights
+
+
+@pytest.mark.parametrize("path", SCENES)
+def test_roundtrip_bundled(path):
+    """load -> dump -> load preserves the full graph (value-level)."""
+    import gzip
+
+    scene = load_scene(path)
+    text = dumps_scene(scene)
+    scene2 = loads_scene(text)
+    d1 = scene_to_dict(scene)
+    d2 = scene_to_dict(scene2)
+    assert json.dumps(d1, sort_keys=True) == json.dumps(d2, sort_keys=True)
+
+    # and our dump carries exactly the reference's top-level schema
+    with gzip.open(path, "rt") as f:
+        ref = json.load(f)
+    assert set(d1.keys()) == set(ref.keys())
+    assert d1["objects"]["next_key"] == ref["objects"]["next_key"]
+    assert set(d1["objects"]["collection"]) == set(ref["objects"]["collection"])
+
+
+def test_cornell_contents():
+    """Known inventory of cornell.json.gz (SURVEY.md §6)."""
+    scene = load_scene("scenes/cornell.json.gz")
+    kinds = {}
+    for o in scene.iter():
+        kinds[type(o.inner).__name__] = kinds.get(type(o.inner).__name__, 0) + 1
+    assert kinds == {"Camera": 1, "Rect": 6, "Cuboid": 2}
+    cam = scene.get_object(scene.find_by_tag("camera")).as_camera()
+    assert cam.focal_length == pytest.approx(0.05)
+    assert cam.fstop == pytest.approx(1.4)
+    assert cam.focus == pytest.approx(12.5)
+
+
+def test_compile_cornell():
+    scene = load_scene("scenes/cornell.json.gz")
+    arr = compile_scene(scene)
+    assert int(arr.rct_valid.sum()) == 6 + 2 * 6  # 6 rects + 2 cuboids×6 faces
+    assert int(arr.sph_valid.sum()) == 0
+    assert int(arr.num_lights) == 1
+    # light is the 0.5-half-extent ceiling rect with intensity 20
+    import jax.numpy as jnp
+
+    li = np.asarray(arr.light_faces)[0]
+    row = li[li >= 0]
+    assert len(row) == 1
+    assert np.asarray(arr.rct_hw)[row[0]] == pytest.approx(0.5)
+    emitted = np.asarray(arr.mat_emitted)
+    assert emitted.max() == pytest.approx(20.0)
+
+
+def test_compile_volume_scene():
+    scene = load_scene("scenes/volume.json.gz")
+    arr = compile_scene(scene)
+    assert arr.vol_grid.shape[1:] == (8, 8, 8)
+    assert int(arr.sph_valid.sum()) == 4
+    assert (np.asarray(arr.sph_vol) >= 0).sum() == 1
+
+
+def test_rect_basis_orthonormal():
+    r = Rect.from_edges(0, [0.0, 0.0, -2.5], [0.0, 2.5, 0.0])
+    assert r.half_width == pytest.approx(2.5)
+    assert r.half_height == pytest.approx(2.5)
+    np.testing.assert_allclose(np.dot(r.x, r.y), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.cross(r.x, r.y), r.z, atol=1e-12)
+
+
+def test_cuboid_six_faces():
+    c = Cuboid.from_axes(0, [0.5, 0, 0], [0, 1.0, 0], [0, 0, 0.4])
+    assert len(c.faces) == 6
+    areas = sorted(rect.area for _, rect in c.faces)
+    # area = 4·hw·hh per face (``rect.rs:88-90``): ±z faces 4·0.5·1.0,
+    # ±x faces 4·0.4·1.0, ±y faces 4·0.5·0.4
+    assert areas == pytest.approx([0.8, 0.8, 1.6, 1.6, 2.0, 2.0])
+
+
+def test_update_queue_propagates_to_children():
+    """Deferred transform propagation (``src/scene/mod.rs:154-212``,
+    ``src/scene/object/mod.rs:200-244``)."""
+    scene = Scene()
+    parent = scene.add_object(Object())
+    child = scene.add_object(Object())
+    q = UpdateQueue()
+    scene.get_object(parent).add(q, child)
+    q.commit(scene)
+
+    q.push(
+        Update.object(
+            parent, lambda o, qq, _d: o.apply_transform(qq, affine_from_translation([1, 2, 3]))
+        )
+    )
+    q.commit(scene)
+    np.testing.assert_allclose(scene.get_object(parent).transform.world[:, 3], [1, 2, 3])
+    np.testing.assert_allclose(scene.get_object(child).transform.world[:, 3], [1, 2, 3])
+
+
+def test_default_root_material_flat_black():
+    scene = Scene()
+    m = scene.root_material_data()
+    assert m.kind == "flat" and m.albedo == (0.0, 0.0, 0.0)
+
+
+def test_save_load_file(tmp_path):
+    scene = Scene()
+    mat = scene.add_data(Data(Material.emissive((1.0, 0.5, 0.2), 5.0)))
+    scene.add_object(Object(Sphere(material=mat, radius=2.0)).with_translation([0, 1, 0]).with_tag("ball").with_flags(ObjectFlags.LIGHT))
+    scene.add_object(Object(Camera()).with_tag("camera"))
+    for name in ["s.json", "s.json.gz"]:
+        from bendy_tpu.scene import save_scene
+
+        p = str(tmp_path / name)
+        save_scene(p, scene)
+        back = load_scene(p)
+        ball = back.get_object(back.find_by_tag("ball"))
+        assert ball.inner.radius == pytest.approx(2.0)
+        assert ball.has_flags(ObjectFlags.LIGHT)
+        np.testing.assert_allclose(ball.transform.world[:, 3], [0, 1, 0])
