@@ -22,11 +22,11 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from bendy_tpu.ops.distr import unit_disk
-from bendy_tpu.utils.vecmath import normalize
+from bendy_tpu.utils.rng import CAMERA_TAG, lane_uniforms
+from bendy_tpu.utils.v3 import V3
 
 
 class CameraParams(NamedTuple):
@@ -39,66 +39,72 @@ class CameraParams(NamedTuple):
     translation: jnp.ndarray  # [3]
 
 
+def rotate(m: jnp.ndarray, v: V3) -> V3:
+    """Apply a [3,3] rotation (traced scalars) to a V3 of [B] arrays."""
+    return V3(
+        m[0, 0] * v.x + m[0, 1] * v.y + m[0, 2] * v.z,
+        m[1, 0] * v.x + m[1, 1] * v.y + m[1, 2] * v.z,
+        m[2, 0] * v.x + m[2, 1] * v.y + m[2, 2] * v.z,
+    )
+
+
 def camera_rays(
     cam: CameraParams,
     width: int,
     height: int,
     spp: int,
     subsample: int,
-    keys: jax.Array,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    key: tuple,
+    lane: jnp.ndarray,
+) -> tuple[V3, V3]:
     """Generate one primary ray per lane.
 
-    Lane layout is pixel-major: lane = ((y·W + x)·spp + s)·n² + (j·n + i),
-    so per-pixel reduction is a reshape, not a scatter. Returns
-    (origins [B,3], directions [B,3]).
+    ``lane`` carries *global* u32 lane ids laid out pixel-major:
+    lane = ((y·W + x)·spp + s)·n² + (j·n + i). Per-pixel reduction is then
+    a reshape, never a scatter, and row-chunked passes stay bit-identical
+    to unchunked ones (ids, hence RNG streams, are global).
     """
     n = max(subsample, 1)
-    B = width * height * spp * n * n
-    lane = jnp.arange(B)
-    sub = lane % (n * n)
-    pix = lane // (spp * n * n)
-    px = (pix % width).astype(jnp.float32)
-    py = (pix // width).astype(jnp.float32)
-    si = (sub % n).astype(jnp.float32)
-    sj = (sub // n).astype(jnp.float32)
+    nn = jnp.uint32(n * n)
+    sub = lane % nn
+    pix = lane // (jnp.uint32(spp) * nn)
+    px = (pix % jnp.uint32(width)).astype(jnp.float32)
+    py = (pix // jnp.uint32(width)).astype(jnp.float32)
+    si = (sub % jnp.uint32(n)).astype(jnp.float32)
+    sj = (sub // jnp.uint32(n)).astype(jnp.float32)
 
     pw = 2.0 / width
     ph = 2.0 / height
-    uj = jax.vmap(lambda k: jax.random.uniform(k, (4,)))(
-        jax.vmap(lambda k: jax.random.fold_in(k, 0x00C0FFEE))(keys)
-    )
+    uj = lane_uniforms(key, lane, CAMERA_TAG, 4)
 
     # jittered NDC (``tracer/mod.rs:255-283``); subpixel offset is i/n of a pixel
-    u = px * pw - 1.0 + (si / n) * pw + (uj[:, 0] - 0.5) * (pw / n)
-    v = py * ph - 1.0 + (sj / n) * ph + (uj[:, 1] - 0.5) * (ph / n)
+    u = px * pw - 1.0 + (si / n) * pw + (uj[0] - 0.5) * (pw / n)
+    v = py * ph - 1.0 + (sj / n) * ph + (uj[1] - 0.5) * (ph / n)
 
     yfov = 2.0 * jnp.arctan2(cam.sensor_size, 2.0 * cam.focal_length)
     xfov = yfov * cam.aspect_ratio
     yrot = xfov * 0.5 * -u
     xrot = yfov * 0.5 * -v
-    d_frustum = jnp.stack(
-        [
-            -jnp.cos(xrot) * jnp.sin(yrot),
-            jnp.sin(xrot),
-            -jnp.cos(xrot) * jnp.cos(yrot),
-        ],
-        axis=-1,
+    cos_x = jnp.cos(xrot)
+    d_frustum = V3(-cos_x * jnp.sin(yrot), jnp.sin(xrot), -cos_x * jnp.cos(yrot))
+
+    d_world = rotate(cam.rotation, d_frustum).normalize()
+    origin = V3(
+        jnp.broadcast_to(cam.translation[0], u.shape),
+        jnp.broadcast_to(cam.translation[1], u.shape),
+        jnp.broadcast_to(cam.translation[2], u.shape),
     )
 
-    d_world = normalize(d_frustum @ cam.rotation.T)
-    origin = jnp.broadcast_to(cam.translation, d_world.shape)
-
     # thin-lens defocus (``tracer/mod.rs:286-302``)
-    neg_z = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], d_world.dtype), d_world.shape)
-    defocus = unit_disk(neg_z, uj[:, 2], uj[:, 3])
+    neg_z = V3(jnp.zeros_like(u), jnp.zeros_like(u), jnp.full_like(u, -1.0))
+    defocus = unit_disk(neg_z, uj[2], uj[3])
     aperture = 0.5 * cam.focal_length / cam.fstop
-    defocus_offset = (defocus * aperture) @ cam.rotation.T
-    frac_f_z = cam.focus / jnp.abs(d_frustum[:, 2])
+    defocus_offset = rotate(cam.rotation, defocus * aperture)
+    frac_f_z = cam.focus / jnp.abs(d_frustum.z)
     origin_dof = origin + defocus_offset
-    dir_dof = normalize(d_world * frac_f_z[:, None] - defocus_offset)
+    dir_dof = (d_world * frac_f_z - defocus_offset).normalize()
 
     use_dof = cam.focus > 0.0
-    origin = jnp.where(use_dof, origin_dof, origin)
-    direction = jnp.where(use_dof, dir_dof, d_world)
+    origin = V3.where(use_dof, origin_dof, origin)
+    direction = V3.where(use_dof, dir_dof, d_world)
     return origin, direction

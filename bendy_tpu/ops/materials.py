@@ -18,130 +18,147 @@ AOV quirks preserved: terminating lanes report ColorData::from_emitted
 (albedo := emitted, normal := 0, depth := +inf, ``src/tracer/ray.rs:57-65``);
 scattering lanes report the hit's material albedo / shading normal / t.
 
-Every lane evaluates every branch; ``mat_type`` selects. The per-lane
-uniform block ``u`` is laid out as:
+Every lane evaluates every branch; ``hit.mtype`` selects. The per-lane
+uniform list ``u`` is laid out as:
     u0 light pick · u1 mix bernoulli · u2,u3 cosine/fuzz ·
     u4,u5 light point · u6 cuboid face pick · u7 glass reflect bernoulli
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
 
 from bendy_tpu.ops import distr
-from bendy_tpu.ops.intersect import FACE_FRONT, FACE_VOLUME_FRONT, Hit, light_pdf
-from bendy_tpu.scene.compiler import SceneArrays
-from bendy_tpu.utils.vecmath import dot, fresnel_schlick, normalize, reflect, refract
-
-MAT_FLAT = 0
-MAT_DIFFUSE = 1
-MAT_METALLIC = 2
-MAT_GLASS = 3
-MAT_EMISSIVE = 4
+from bendy_tpu.ops.intersect import FACE_FRONT, FACE_VOLUME_FRONT, Hit, light_pdf, row3
+from bendy_tpu.scene.compiler import (
+    MAT_DIFFUSE,
+    MAT_GLASS,
+    MAT_METALLIC,
+    SceneArrays,
+)
+from bendy_tpu.utils.v3 import V3
 
 
 class Shade(NamedTuple):
-    emitted: jnp.ndarray  # [B,3] radiance emitted at this event
+    emitted: V3  # radiance emitted at this event
     scatter: jnp.ndarray  # [B] bool: does the path continue?
-    direction: jnp.ndarray  # [B,3] next ray direction (unit)
-    weight: jnp.ndarray  # [B,3] throughput multiplier for the next segment
-    aov_albedo: jnp.ndarray  # [B,3]
-    aov_normal: jnp.ndarray  # [B,3]
+    direction: V3  # next ray direction (unit)
+    weight: V3  # throughput multiplier for the next segment
+    aov_albedo: V3
+    aov_normal: V3
     aov_depth: jnp.ndarray  # [B]
 
 
 def sample_light_point(scn: SceneArrays, light_idx: jnp.ndarray,
-                       u_a: jnp.ndarray, u_b: jnp.ndarray, u_face: jnp.ndarray) -> jnp.ndarray:
+                       u_a: jnp.ndarray, u_b: jnp.ndarray, u_face: jnp.ndarray) -> V3:
     """Uniform point on light ``light_idx`` (``Object::random_point``).
 
     sphere: center + r·unit_sphere       (``sphere.rs:40-42``)
-    rect:   center + x·x̂·U(-hw,hw) + ...  (``rect.rs:82-86``)
+    rect:   center + x̂·U(-hw,hw) + ...    (``rect.rs:82-86``)
     cuboid: area-weighted face, then rect (``cuboid.rs:48-54``)
+
+    Static loop over lights; per-light faces are scalar slices.
     """
-    srow = jnp.clip(scn.light_sphere[light_idx], 0, scn.n_spheres - 1)
-    p_sphere = scn.sph_center[srow] + scn.sph_radius[srow][:, None] * distr.unit_sphere(u_a, u_b)
+    B = u_a.shape[0]
+    usphere = distr.unit_sphere(u_a, u_b)
+    out = V3.zeros(B)
+    for li in range(scn.n_lights):
+        sel = light_idx == li
+        p_sphere = row3(scn.light_sph_center, li) + usphere * scn.light_sph_radius[li]
 
-    cdf = scn.light_face_cdf[light_idx]  # [B,F]
-    face = jnp.argmax(u_face[:, None] < cdf, axis=1)  # first face with cdf > u
-    rrow = jnp.clip(jnp.take_along_axis(scn.light_faces[light_idx], face[:, None], axis=1)[:, 0],
-                    0, scn.n_rects - 1)
-    x = (u_a * 2.0 - 1.0) * scn.rct_hw[rrow]
-    y = (u_b * 2.0 - 1.0) * scn.rct_hh[rrow]
-    p_rect = scn.rct_center[rrow] + x[:, None] * scn.rct_x[rrow] + y[:, None] * scn.rct_y[rrow]
+        nf = scn.light_face_cdf.shape[1]
+        # first face whose cdf exceeds u_face
+        face_sel = [jnp.zeros(B, bool) for _ in range(nf)]
+        prev_cdf = jnp.zeros(B, u_a.dtype)
+        remaining = jnp.ones(B, bool)
+        p_rect = V3.zeros(B)
+        for f in range(nf):
+            cdf = scn.light_face_cdf[li, f]
+            pick = remaining & (u_face < cdf) & scn.light_face_valid[li, f]
+            remaining = remaining & ~pick
+            x = (u_a * 2.0 - 1.0) * scn.light_face_hw[li, f]
+            y = (u_b * 2.0 - 1.0) * scn.light_face_hh[li, f]
+            p_f = (
+                V3(scn.light_face_center[li, f, 0], scn.light_face_center[li, f, 1],
+                   scn.light_face_center[li, f, 2])
+                + V3(scn.light_face_x[li, f, 0], scn.light_face_x[li, f, 1],
+                     scn.light_face_x[li, f, 2]) * x
+                + V3(scn.light_face_y[li, f, 0], scn.light_face_y[li, f, 1],
+                     scn.light_face_y[li, f, 2]) * y
+            )
+            p_rect = V3.where(pick, p_f, p_rect)
+            prev_cdf = cdf
 
-    return jnp.where((scn.light_kind[light_idx] == 0)[:, None], p_sphere, p_rect)
+        p_li = V3.where(scn.light_kind[li] == 0, p_sphere, p_rect)
+        out = V3.where(sel, p_li, out)
+    return out
 
 
 def shade_surface(
-    dir_in: jnp.ndarray,
+    dir_in: V3,
     hit: Hit,
     scn: SceneArrays,
-    u: jnp.ndarray,
+    u: Sequence[jnp.ndarray],
     clip_min: float,
     clip_max: float,
 ) -> Shade:
     """Shade surface-face lanes; volume faces are handled by ops.volume."""
-    B = dir_in.shape[0]
-    mtype = scn.mat_type[hit.mat]
-    albedo = scn.mat_albedo[hit.mat]
-    rough = scn.mat_rough[hit.mat]
-    ior = scn.mat_ior[hit.mat]
-    emitted = scn.mat_emitted[hit.mat]
+    B = dir_in.x.shape[0]
     n = hit.normal
     pos = hit.position
-    cmin = jnp.full(B, clip_min, dir_in.dtype)
-    cmax = jnp.full(B, clip_max, dir_in.dtype)
+    albedo = hit.albedo
+    emitted = hit.emitted
+    cmin = jnp.full(B, clip_min, dir_in.x.dtype)
+    cmax = jnp.full(B, clip_max, dir_in.x.dtype)
 
     # --- diffuse: mixture of cosine BSDF and next-event light sampling ----
-    nl = jnp.maximum(scn.num_lights, 1)
-    light_idx = jnp.clip((u[:, 0] * nl).astype(jnp.int32), 0, nl - 1)
-    d_cos = distr.cosine_hemisphere(n, u[:, 2], u[:, 3])
-    lp = sample_light_point(scn, light_idx, u[:, 4], u[:, 5], u[:, 6])
-    d_light = normalize(lp - pos)
+    nl = scn.n_lights
+    light_idx = jnp.clip((u[0] * nl).astype(jnp.int32), 0, nl - 1)
+    d_cos = distr.cosine_hemisphere(n, u[2], u[3])
+    lp = sample_light_point(scn, light_idx, u[4], u[5], u[6])
+    d_light = (lp - pos).normalize()
     # gen_bool(0.5) picks the light branch (``material.rs:269-274`` with x=0.5)
-    pick_light = u[:, 1] < 0.5
-    d_diff = jnp.where(pick_light[:, None], d_light, d_cos)
-    pdf_cos = dot(n, d_diff) * (1.0 / jnp.pi)  # signed (``material.rs:301-303``)
+    pick_light = u[1] < 0.5
+    d_diff = V3.where(pick_light, d_light, d_cos)
+    pdf_cos = n.dot(d_diff) * (1.0 / jnp.pi)  # signed (``material.rs:301-303``)
     pdf_light = light_pdf(pos, d_diff, cmin, cmax, scn, light_idx)
     pdf_mix = pdf_cos + (pdf_light - pdf_cos) * 0.5  # lerp(a,b,0.5) (``material.rs:294-297``)
     absorbed = jnp.abs(pdf_mix) <= 1e-5  # (``material.rs:279-286``)
     pdf_mix_safe = jnp.where(absorbed, 1.0, pdf_mix)
-    w_diff = albedo * (pdf_cos / pdf_mix_safe)[:, None]
+    w_diff = albedo * (pdf_cos / pdf_mix_safe)
 
     # --- metallic: mirror + fuzz, unit weight --------------------------
-    fuzz = distr.unit_hemisphere(n, u[:, 2], u[:, 3])
-    d_metal = normalize(reflect(dir_in, n) + fuzz * rough[:, None])
+    fuzz = distr.unit_hemisphere(n, u[2], u[3])
+    d_metal = (dir_in.reflect(n) + fuzz * hit.rough).normalize()
 
     # --- glass: probabilistic reflect/refract + fuzz --------------------
     is_front = (hit.face == FACE_FRONT) | (hit.face == FACE_VOLUME_FRONT)
-    ior_eff = jnp.where(is_front, 1.0 / ior, ior)
-    cos_theta = jnp.minimum(dot(-dir_in, n), 1.0)
+    ior_eff = jnp.where(is_front, 1.0 / hit.ior, hit.ior)
+    cos_theta = jnp.minimum((-dir_in).dot(n), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-    fr = fresnel_schlick(dir_in, n, ior_eff)
-    must_reflect = ior_eff * sin_theta > 1.0
-    do_reflect = must_reflect | (u[:, 7] < fr)
-    d_glass_base = jnp.where(
-        do_reflect[:, None], reflect(dir_in, n), refract(dir_in, n, ior_eff)
-    )
-    d_glass = normalize(d_glass_base + fuzz * rough[:, None])
+    fr = dir_in.fresnel(n, ior_eff)
+    do_reflect = (ior_eff * sin_theta > 1.0) | (u[7] < fr)
+    d_glass_base = V3.where(do_reflect, dir_in.reflect(n), dir_in.refract(n, ior_eff))
+    d_glass = (d_glass_base + fuzz * hit.rough).normalize()
 
     # --- select by material type ----------------------------------------
+    mtype = hit.mtype
     scatter = (
-        ((mtype == MAT_DIFFUSE) & ~absorbed) | (mtype == MAT_METALLIC) | (mtype == MAT_GLASS)
+        ((mtype == MAT_DIFFUSE) & ~absorbed)
+        | (mtype == MAT_METALLIC)
+        | (mtype == MAT_GLASS)
     )
-    direction = jnp.where(
-        (mtype == MAT_DIFFUSE)[:, None],
-        d_diff,
-        jnp.where((mtype == MAT_METALLIC)[:, None], d_metal, d_glass),
+    direction = V3.where(
+        mtype == MAT_DIFFUSE, d_diff, V3.where(mtype == MAT_METALLIC, d_metal, d_glass)
     )
-    weight = jnp.where((mtype == MAT_DIFFUSE)[:, None], w_diff, albedo)
-    weight = jnp.where(scatter[:, None], weight, 0.0)
+    weight = V3.where(mtype == MAT_DIFFUSE, w_diff, albedo)
+    weight = V3.where(scatter, weight, V3.zeros(B))
 
     # --- AOVs -------------------------------------------------------------
-    aov_albedo = jnp.where(scatter[:, None], albedo, emitted)
-    aov_normal = jnp.where(scatter[:, None], n, 0.0)
+    aov_albedo = V3.where(scatter, albedo, emitted)
+    aov_normal = V3.where(scatter, n, V3.zeros(B))
     aov_depth = jnp.where(scatter, hit.t, jnp.inf)
 
     return Shade(

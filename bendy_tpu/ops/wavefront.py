@@ -20,8 +20,10 @@ and the estimator identity that makes the flattening exact:
 
 with w = albedo · bsdf_pdf(scatter) / shader_pdf (``tracer/mod.rs:471-482``).
 
-Per iteration every lane performs one batched intersection sweep against
-every primitive and one masked shade — no divergence, all VPU work.
+Everything is structure-of-arrays: state is [B] scalars and V3-of-[B]
+triples, the per-primitive sweep is statically unrolled, RNG is raw
+counter-mode threefry — the whole body fuses into a handful of VPU
+kernels with zero gathers (except density-grid reads in volume scenes).
 
 AOV semantics match the reference's ColorData flow: the FIRST claiming
 event (surface shade, env miss, or volume *scatter* — a volume
@@ -43,10 +45,11 @@ from bendy_tpu.ops.intersect import (
     FACE_VOLUME_BACK,
     nearest_hit,
 )
-from bendy_tpu.ops.materials import MAT_EMISSIVE, MAT_FLAT, shade_surface
+from bendy_tpu.ops.materials import shade_surface
 from bendy_tpu.ops.volume import volume_shade
-from bendy_tpu.scene.compiler import SceneArrays
-from bendy_tpu.utils.rng import iter_uniforms
+from bendy_tpu.scene.compiler import MAT_EMISSIVE, MAT_FLAT, SceneArrays
+from bendy_tpu.utils.rng import lane_uniforms
+from bendy_tpu.utils.v3 import V3
 
 MODE_DEAD = 0
 MODE_SURFACE = 1
@@ -73,31 +76,31 @@ class TraceConfig(NamedTuple):
 
 
 class TraceResult(NamedTuple):
-    radiance: jnp.ndarray  # [B,3]
-    aov_albedo: jnp.ndarray  # [B,3]
-    aov_normal: jnp.ndarray  # [B,3]
+    radiance: V3
+    aov_albedo: V3
+    aov_normal: V3
     aov_depth: jnp.ndarray  # [B] raw t (inf for background/emissive)
     rays: jnp.ndarray  # [] f32: total alive-lane iterations (traced rays)
 
 
 class _State(NamedTuple):
     it: jnp.ndarray
-    org: jnp.ndarray
-    dir: jnp.ndarray
-    thr: jnp.ndarray
-    rad: jnp.ndarray
+    org: V3
+    dir: V3
+    thr: V3
+    rad: V3
     bounce: jnp.ndarray
     vbounce: jnp.ndarray
     mode: jnp.ndarray
     last_sph: jnp.ndarray
     aov_open: jnp.ndarray
-    aov_alb: jnp.ndarray
-    aov_nrm: jnp.ndarray
+    aov_alb: V3
+    aov_nrm: V3
     aov_dep: jnp.ndarray
     rays: jnp.ndarray
 
 
-def _env_terms(scn: SceneArrays, dir: jnp.ndarray, clip_max: float):
+def _env_terms(scn: SceneArrays, dir: V3, clip_max: float):
     """Environment (root-material) shading on miss (``tracer/mod.rs:429-452``).
 
     All five material kinds collapse to a fixed color here because
@@ -105,45 +108,45 @@ def _env_terms(scn: SceneArrays, dir: jnp.ndarray, clip_max: float):
     emitted color, the rest their albedo. AOVs keep the reference's quirks
     (flat env reports BLACK albedo; emissive env zero normal / inf depth).
     """
-    root = scn.root_mat
-    mtype = scn.mat_type[root]
-    albedo = scn.mat_albedo[root]
-    emitted = scn.mat_emitted[root]
+    mtype = scn.root_mtype
+    albedo = V3(scn.root_albedo[0], scn.root_albedo[1], scn.root_albedo[2])
+    emitted = V3(scn.root_emitted[0], scn.root_emitted[1], scn.root_emitted[2])
     is_const = (mtype == MAT_FLAT) | (mtype == MAT_EMISSIVE)
-    color = jnp.where(is_const, emitted, albedo)  # [3]
-    aov_albedo = jnp.where(is_const, 0.0, albedo)  # [3]
+    B = dir.x.shape[0]
+    color = V3.where(is_const, V3.zeros(B) + emitted, V3.zeros(B) + albedo)
+    aov_albedo = V3.where(is_const, V3.zeros(B), V3.zeros(B) + albedo)
     is_em = mtype == MAT_EMISSIVE
-    aov_normal = jnp.where(is_em, 0.0, -dir)  # [B,3]
-    aov_depth = jnp.where(is_em, jnp.inf, clip_max)  # [] broadcast
+    aov_normal = V3.where(is_em, V3.zeros(B), -dir)
+    aov_depth = jnp.where(is_em, jnp.inf, clip_max) * jnp.ones(B)
     return color, aov_albedo, aov_normal, aov_depth
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def trace(
     scn: SceneArrays,
-    org: jnp.ndarray,
-    direction: jnp.ndarray,
-    keys: jax.Array,
+    org: V3,
+    direction: V3,
+    key: tuple,
+    lane: jnp.ndarray,
     cfg: TraceConfig,
 ) -> TraceResult:
     """Trace a megabatch of rays to completion. All lanes start in surface mode."""
-    B = org.shape[0]
-    f3 = lambda v: jnp.full((B, 3), v, org.dtype)  # noqa: E731
+    B = org.x.shape[0]
 
     state = _State(
-        it=jnp.int32(0),
+        it=jnp.uint32(0),
         org=org,
         dir=direction,
-        thr=f3(1.0),
-        rad=f3(0.0),
+        thr=V3.zeros(B) + 1.0,
+        rad=V3.zeros(B),
         bounce=jnp.zeros(B, jnp.int32),
         vbounce=jnp.zeros(B, jnp.int32),
         mode=jnp.full(B, MODE_SURFACE, jnp.int32),
         last_sph=jnp.full(B, -1, jnp.int32),
         aov_open=jnp.ones(B, bool),
-        aov_alb=f3(0.0),
-        aov_nrm=f3(0.0),
-        aov_dep=jnp.full(B, jnp.inf, org.dtype),
+        aov_alb=V3.zeros(B),
+        aov_nrm=V3.zeros(B),
+        aov_dep=jnp.full(B, jnp.inf, org.x.dtype),
         rays=jnp.float32(0.0),
     )
 
@@ -159,47 +162,46 @@ def trace(
         march = mode == MODE_MARCH
 
         # --- one intersection sweep for every lane -----------------------
-        cmin = jnp.where(march, 0.0, cfg.clip_min).astype(s.org.dtype)
-        cmax = jnp.where(march, cfg.volume_step, cfg.clip_max).astype(s.org.dtype)
-        hit = nearest_hit(s.org, s.dir, cmin, cmax, scn,
-                          march=march if cfg.has_volumes else None,
-                          last_sphere=s.last_sph if cfg.has_volumes else None)
+        cmin = jnp.where(march, 0.0, cfg.clip_min).astype(s.org.x.dtype)
+        cmax = jnp.where(march, cfg.volume_step, cfg.clip_max).astype(s.org.x.dtype)
+        hit = nearest_hit(
+            s.org, s.dir, cmin, cmax, scn,
+            march=march if cfg.has_volumes else None,
+            last_sphere=s.last_sph if cfg.has_volumes else None,
+        )
 
         miss = alive & ~hit.valid
         surf = alive & hit.valid & ((hit.face == FACE_FRONT) | (hit.face == FACE_BACK))
-        vol = alive & hit.valid & (hit.face >= 2) & (hit.vol >= 0) if cfg.has_volumes else jnp.zeros(B, bool)
 
-        u = iter_uniforms(keys, s.it, N_UNIFORMS)
+        u = lane_uniforms(key, lane, s.it, N_UNIFORMS)
         sh = shade_surface(s.dir, hit, scn, u, cfg.clip_min, cfg.clip_max)
-
         env_color, env_alb, env_nrm, env_dep = _env_terms(scn, s.dir, cfg.clip_max)
 
         # --- radiance & throughput ---------------------------------------
-        rad = s.rad
-        rad = rad + jnp.where(miss[:, None], s.thr * env_color, 0.0)
-        rad = rad + jnp.where(surf[:, None], s.thr * sh.emitted, 0.0)
-
-        thr = jnp.where((surf & sh.scatter)[:, None], s.thr * sh.weight, s.thr)
+        rad = s.rad + V3.where(miss, s.thr * env_color, V3.zeros(B))
+        rad = rad + V3.where(surf, s.thr * sh.emitted, V3.zeros(B))
+        thr = V3.where(surf & sh.scatter, s.thr * sh.weight, s.thr)
 
         # --- continuation ray & mode transitions -------------------------
-        new_org = jnp.where(surf[:, None], hit.position, s.org)
-        new_dir = jnp.where(surf[:, None], sh.direction, s.dir)
+        new_org = V3.where(surf, hit.position, s.org)
+        new_dir = V3.where(surf, sh.direction, s.dir)
         surf_cont = surf & sh.scatter
-        new_mode = jnp.where(alive, jnp.where(surf_cont, MODE_SURFACE, MODE_DEAD), MODE_DEAD)
+        new_mode = jnp.where(alive & surf_cont, MODE_SURFACE, MODE_DEAD)
         bounce = jnp.where(surf_cont, s.bounce + 1, s.bounce)
         vbounce = s.vbounce
         last_sph = s.last_sph
 
-        claim_alb = jnp.where(surf[:, None], sh.aov_albedo, env_alb)
-        claim_nrm = jnp.where(surf[:, None], sh.aov_normal, env_nrm)
+        claim_alb = V3.where(surf, sh.aov_albedo, env_alb)
+        claim_nrm = V3.where(surf, sh.aov_normal, env_nrm)
         claim_dep = jnp.where(surf, sh.aov_depth, env_dep)
         claim = (surf | miss) & s.aov_open
 
         if cfg.has_volumes:
+            vol = alive & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
             vs = volume_shade(s.dir, hit, scn, u, cfg.volume_step)
-            thr = jnp.where((vol & vs.scattered)[:, None], thr * vs.weight, thr)
-            new_org = jnp.where(vol[:, None], vs.origin, new_org)
-            new_dir = jnp.where(vol[:, None], vs.direction, new_dir)
+            thr = V3.where(vol & vs.scattered, thr * vs.weight, thr)
+            new_org = V3.where(vol, vs.origin, new_org)
+            new_dir = V3.where(vol, vs.direction, new_dir)
 
             # VolumeBack exits to the surface integrator at bounce+1
             # (``tracer/mod.rs:503-513``); everything else keeps marching.
@@ -212,14 +214,10 @@ def trace(
             last_sph = jnp.where(vol_march, hit.sphere_row, s.last_sph)
 
             vol_claim = vol & vs.scattered
-            claim_alb = jnp.where(vol_claim[:, None], jnp.full_like(claim_alb, 0.8), claim_alb)
-            claim_nrm = jnp.where(vol_claim[:, None], hit.normal, claim_nrm)
+            claim_alb = V3.where(vol_claim, V3.zeros(B) + 0.8, claim_alb)
+            claim_nrm = V3.where(vol_claim, hit.normal, claim_nrm)
             claim_dep = jnp.where(vol_claim, hit.t, claim_dep)
             claim = claim | (vol_claim & s.aov_open)
-
-        aov_alb = jnp.where(claim[:, None], claim_alb, s.aov_alb)
-        aov_nrm = jnp.where(claim[:, None], claim_nrm, s.aov_nrm)
-        aov_dep = jnp.where(claim, claim_dep, s.aov_dep)
 
         return _State(
             it=s.it + 1,
@@ -232,9 +230,9 @@ def trace(
             mode=new_mode,
             last_sph=last_sph,
             aov_open=s.aov_open & ~claim,
-            aov_alb=aov_alb,
-            aov_nrm=aov_nrm,
-            aov_dep=aov_dep,
+            aov_alb=V3.where(claim, claim_alb, s.aov_alb),
+            aov_nrm=V3.where(claim, claim_nrm, s.aov_nrm),
+            aov_dep=jnp.where(claim, claim_dep, s.aov_dep),
             rays=s.rays + jnp.sum(alive).astype(jnp.float32),
         )
 

@@ -27,7 +27,8 @@ from bendy_tpu.ops.camera import CameraParams, camera_rays
 from bendy_tpu.ops.wavefront import TraceConfig, trace
 from bendy_tpu.scene.compiler import SceneArrays, compile_scene
 from bendy_tpu.scene.graph import Scene, Sphere
-from bendy_tpu.utils.rng import lane_keys
+from bendy_tpu.utils.rng import render_key
+from bendy_tpu.utils.v3 import V3
 
 
 class Output(enum.Enum):
@@ -97,31 +98,35 @@ def merged_config(main: Config, render: RenderConfig, replicate_merge_bug: bool 
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "subsample", "cfg", "output"),
+    static_argnames=("width", "height", "rows", "spp", "subsample", "cfg", "output"),
 )
 def render_pass(
     scn: SceneArrays,
     cam: CameraParams,
     seed,
     pass_idx,
+    y_offset,
     width: int,
     height: int,
+    rows: int,
     spp: int,
     subsample: int,
     cfg: TraceConfig,
     output: str,
 ):
-    """One progressive pass: spp samples/pixel × subsample² subpixels.
+    """One pass over image rows [y_offset, y_offset+rows): spp samples ×
+    subsample² subpixels per pixel.
 
-    Returns (per-pixel channel sums [H,W,3], traced-ray count). Lanes are
-    pixel-major so the per-pixel reduction is a reshape-sum, never a
-    scatter.
+    Returns (per-pixel channel sums [rows,W,3], traced-ray count). Lane ids
+    are global, so any row chunking produces bit-identical images.
     """
     n = max(subsample, 1)
-    B = width * height * spp * n * n
-    keys = lane_keys(seed, pass_idx, jnp.arange(B))
-    org, direction = camera_rays(cam, width, height, spp, n, keys)
-    res = trace(scn, org, direction, keys, cfg)
+    per_row = width * spp * n * n
+    B = rows * per_row
+    lane = jnp.asarray(y_offset, jnp.uint32) * jnp.uint32(per_row) + jnp.arange(B, dtype=jnp.uint32)
+    key = render_key(jnp.asarray(seed, jnp.uint32), jnp.asarray(pass_idx, jnp.uint32))
+    org, direction = camera_rays(cam, width, height, spp, n, key, lane)
+    res = trace(scn, org, direction, key, lane, cfg)
 
     if output == "full":
         ch = res.radiance
@@ -133,21 +138,31 @@ def render_pass(
         # normalized + clamped depth (``tracer/mod.rs:306-308``)
         d = (res.aov_depth - cfg.clip_min) / (cfg.clip_max - cfg.clip_min)
         d = jnp.clip(d, 0.0, 1.0)
-        ch = jnp.broadcast_to(d[:, None], (B, 3))
+        ch = V3(d, d, d)
     else:
         raise ValueError(f"unknown output {output!r}")
 
-    sums = ch.reshape(height, width, spp * n * n, 3).sum(axis=2)
+    spn = spp * n * n
+    sums = jnp.stack(
+        [c.reshape(rows, width, spn).sum(axis=2) for c in (ch.x, ch.y, ch.z)], axis=-1
+    )
     return sums, res.rays
 
 
 class Renderer:
-    """Progressive scene renderer (the reference's ``Tracer``)."""
+    """Progressive scene renderer (the reference's ``Tracer``).
 
-    def __init__(self, scene: Scene, config: Config = Config()) -> None:
+    ``max_lanes`` bounds the megabatch per device dispatch; larger renders
+    are chunked by samples and image rows. Chunking is invisible: lane ids
+    (hence RNG keys) are global, so any chunking yields the same image.
+    """
+
+    def __init__(self, scene: Scene, config: Config = Config(), max_lanes: int = 1 << 21) -> None:
         self.config = config
         self.scene = scene
         self.arrays = compile_scene(scene)
+        self.max_lanes = max_lanes
+        self.rays_traced = 0.0
         self.has_volumes = any(
             isinstance(o.inner, Sphere) and o.inner.volume is not None for o in scene.iter()
         )
@@ -195,19 +210,37 @@ class Renderer:
             return Status.DONE
         cfg = merged_config(self.config, render_config)
         cam = self.camera_params(camera_ref)
-        sums, _rays = render_pass(
-            self.arrays,
-            cam,
-            jnp.uint32(seed),
-            jnp.int32(film.passes),
-            film.width,
-            film.height,
-            render_config.samples,
-            render_config.subsample.n,
-            self.trace_config(cfg),
-            cfg.output.value,
-        )
-        film.add_pass(
-            np.asarray(sums), render_config.samples * render_config.subsample.subpixel_count
-        )
+        tcfg = self.trace_config(cfg)
+        W, H = film.width, film.height
+        nn = render_config.subsample.subpixel_count
+        n = max(render_config.subsample.n, 1)
+
+        # chunk samples then rows so one dispatch stays <= max_lanes
+        spp_chunk = min(render_config.samples, max(1, self.max_lanes // max(W * H * nn, 1)))
+        remaining = render_config.samples
+        while remaining > 0:
+            s = min(spp_chunk, remaining)
+            per_row = W * s * nn
+            rows_chunk = min(H, max(1, self.max_lanes // per_row))
+            parts = []
+            for y0 in range(0, H, rows_chunk):
+                rows = min(rows_chunk, H - y0)
+                sums, rays = render_pass(
+                    self.arrays,
+                    cam,
+                    jnp.uint32(seed),
+                    jnp.int32(film.passes),
+                    jnp.int32(y0),
+                    W,
+                    H,
+                    rows,
+                    s,
+                    n,
+                    tcfg,
+                    cfg.output.value,
+                )
+                parts.append(np.asarray(sums))
+                self.rays_traced += float(rays)
+            film.add_pass(np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0], s * nn)
+            remaining -= s
         return Status.IN_PROGRESS

@@ -2,32 +2,36 @@
 
 The reference hit-tests objects by walking a HashMap and dynamic-dispatching
 per shape (``src/tracer/mod.rs:394-399``, ``src/scene/object/mod.rs:168-198``).
-On TPU we compile the scene once into struct-of-arrays form so the wavefront
-integrator can intersect *every* primitive against *every* ray lane as one
-fused, branchless batch:
+On TPU the wavefront integrator instead *statically unrolls* over the
+compiled primitive list: each primitive contributes ~20 fused VPU ops per
+ray lane, and the winning hit's attributes are carried through ``where``
+selects of traced scalars — zero gathers, zero [B, N] intermediates (both
+measured to wreck TPU layouts/fusion).
 
-- cuboids are decomposed into their six world-space rect faces at compile
-  time, exactly mirroring the reference's own representation
-  (``src/scene/object/cuboid.rs:19-30`` — a cuboid *is* six rects there too;
-  we just bake the per-face offset transforms in),
-- rect bases are rotated into world space (the reference rotates at hit
-  time, ``src/scene/object/rect.rs:119``; scenes use rigid transforms so
-  pre-rotating is exact),
-- materials/volumes are re-keyed to dense indices,
-- LIGHT-flagged objects get a sampling table (uniform light pick +
-  area-weighted cuboid face pick, ``src/scene/data/material.rs:106-122``,
-  ``src/scene/object/cuboid.rs:48-54``),
-- density grids are zero-padded to a common shape so they stack into one
-  [G, D, H, W] array.
+To make that possible the compiler bakes everything per primitive:
 
-Arrays are padded to multiples of 8 rows with ``valid`` masks so scene
-edits of similar size hit the jit cache.
+- cuboids decompose into their six world-space rect faces, exactly
+  mirroring the reference's own representation
+  (``src/scene/object/cuboid.rs:19-30``); rect bases are pre-rotated into
+  world space (hit-time rotation in the reference, ``rect.rs:119``; scene
+  transforms are rigid so pre-rotating is exact),
+- each primitive carries its material's parameters inline (type code,
+  albedo, roughness, ior, emitted),
+- each volume sphere carries its density grid's index and dimensions,
+- LIGHT-flagged objects (``ObjectFlags::LIGHT``) get a geometry table for
+  next-event sampling: sphere center/radius or up to six rect faces with
+  an area-weighted cdf (``material.rs:106-122``, ``cuboid.rs:48-54``),
+- density grids are zero-padded to a common shape, stacked [G, D, H, W].
+
+Primitive counts are exact (no padding): the trace program is specialized
+to the scene's shape anyway; parameter *values* stay traced, so moving
+objects or editing materials does not recompile.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any, Optional
+from dataclasses import dataclass, fields
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,68 +50,91 @@ from bendy_tpu.scene.graph import (
 
 MAX_LIGHT_FACES = 6  # a cuboid light contributes 6 faces
 
-_MATERIAL_CODES = {"flat": 0, "diffuse": 1, "metallic": 2, "glass": 3, "emissive": 4}
+MAT_FLAT = 0
+MAT_DIFFUSE = 1
+MAT_METALLIC = 2
+MAT_GLASS = 3
+MAT_EMISSIVE = 4
+
+_MATERIAL_CODES = {
+    "flat": MAT_FLAT,
+    "diffuse": MAT_DIFFUSE,
+    "metallic": MAT_METALLIC,
+    "glass": MAT_GLASS,
+    "emissive": MAT_EMISSIVE,
+}
 
 
-def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
-    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-    return np.pad(a, pad)
-
-
-def _round8(n: int) -> int:
-    return max(8, -(-n // 8) * 8)
+def _emitted_of(m) -> np.ndarray:
+    """emitted(): Flat -> albedo, Emissive -> albedo·intensity, else 0
+    (``src/scene/data/material.rs:71-79``)."""
+    if m.kind == "flat":
+        return np.asarray(m.albedo, np.float32)
+    if m.kind == "emissive":
+        return np.asarray(m.albedo, np.float32) * np.float32(m.intensity)
+    return np.zeros(3, np.float32)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class SceneArrays:
-    """Device-resident scene: every field is a jnp array (pytree leaves)."""
+    """Device-resident scene; every field is a jnp array (pytree leaves).
 
-    # spheres
+    Shapes: Ns spheres, Nr rects (stand-alone + cuboid faces), L lights,
+    G density grids. Counts are exact and become static loop bounds in the
+    integrator.
+    """
+
+    # spheres: geometry + inline material + volume binding
     sph_center: jnp.ndarray  # [Ns,3]
     sph_radius: jnp.ndarray  # [Ns]
-    sph_mat: jnp.ndarray  # [Ns] dense material idx
-    sph_vol: jnp.ndarray  # [Ns] dense volume idx, -1 = none
-    sph_valid: jnp.ndarray  # [Ns] bool
+    sph_mtype: jnp.ndarray  # [Ns] material code
+    sph_albedo: jnp.ndarray  # [Ns,3]
+    sph_rough: jnp.ndarray  # [Ns]
+    sph_ior: jnp.ndarray  # [Ns]
+    sph_emitted: jnp.ndarray  # [Ns,3]
+    sph_vol_grid: jnp.ndarray  # [Ns] density grid index, -1 = no volume
+    sph_vol_size: jnp.ndarray  # [Ns,3] grid (w-1,h-1,d-1)
 
-    # rects (stand-alone + baked cuboid faces)
+    # rects: geometry + inline material
     rct_center: jnp.ndarray  # [Nr,3] world face center
     rct_x: jnp.ndarray  # [Nr,3] world unit basis
     rct_y: jnp.ndarray  # [Nr,3]
     rct_z: jnp.ndarray  # [Nr,3] world unit normal
     rct_hw: jnp.ndarray  # [Nr]
     rct_hh: jnp.ndarray  # [Nr]
-    rct_mat: jnp.ndarray  # [Nr]
-    rct_valid: jnp.ndarray  # [Nr] bool
-
-    # materials (dense)
-    mat_type: jnp.ndarray  # [K] codes: flat=0 diffuse=1 metallic=2 glass=3 emissive=4
-    mat_albedo: jnp.ndarray  # [K,3]
-    mat_rough: jnp.ndarray  # [K]
-    mat_ior: jnp.ndarray  # [K]
-    mat_emitted: jnp.ndarray  # [K,3] flat->albedo, emissive->albedo*intensity, else 0
+    rct_mtype: jnp.ndarray  # [Nr]
+    rct_albedo: jnp.ndarray  # [Nr,3]
+    rct_rough: jnp.ndarray  # [Nr]
+    rct_ior: jnp.ndarray  # [Nr]
+    rct_emitted: jnp.ndarray  # [Nr,3]
 
     # environment (root material, ``src/scene/mod.rs:92-104``)
-    root_mat: jnp.ndarray  # [] int32 dense material idx
+    root_mtype: jnp.ndarray  # [] int32
+    root_albedo: jnp.ndarray  # [3]
+    root_emitted: jnp.ndarray  # [3]
 
     # lights (``ObjectFlags::LIGHT`` objects)
     light_kind: jnp.ndarray  # [L] 0=sphere 1=rect(s)
-    light_sphere: jnp.ndarray  # [L] sphere row or -1
-    light_faces: jnp.ndarray  # [L, MAX_LIGHT_FACES] rect rows, -1 padded
-    light_face_cdf: jnp.ndarray  # [L, MAX_LIGHT_FACES] area-weighted cumulative probs
-    num_lights: jnp.ndarray  # [] int32
+    light_sph_center: jnp.ndarray  # [L,3]
+    light_sph_radius: jnp.ndarray  # [L]
+    light_face_center: jnp.ndarray  # [L,F,3]
+    light_face_x: jnp.ndarray  # [L,F,3]
+    light_face_y: jnp.ndarray  # [L,F,3]
+    light_face_z: jnp.ndarray  # [L,F,3]
+    light_face_hw: jnp.ndarray  # [L,F]
+    light_face_hh: jnp.ndarray  # [L,F]
+    light_face_cdf: jnp.ndarray  # [L,F] cumulative area weights
+    light_face_valid: jnp.ndarray  # [L,F] bool
 
-    # volumes
-    vol_grid: jnp.ndarray  # [G, D, H, W] densities (zero-padded)
-    vol_size: jnp.ndarray  # [G,3] (w-1, h-1, d-1) as f32
+    # volumes: stacked density grids
+    vol_grid: jnp.ndarray  # [G, D, H, W]
 
-    # geodesic masses (optional extension; zero rows in flat scenes)
+    # geodesic masses (objects tagged "mass:<rs>"; empty in flat scenes)
     mass_center: jnp.ndarray  # [M,3]
     mass_rs: jnp.ndarray  # [M] Schwarzschild radius
 
     def tree_flatten(self):
-        from dataclasses import fields
-
         return tuple(getattr(self, f.name) for f in fields(self)), None
 
     @classmethod
@@ -122,106 +149,128 @@ class SceneArrays:
     def n_rects(self) -> int:
         return self.rct_hw.shape[0]
 
+    @property
+    def n_lights(self) -> int:
+        return self.light_kind.shape[0]
+
+    @property
+    def n_masses(self) -> int:
+        return self.mass_rs.shape[0]
+
+    @property
+    def has_volumes(self) -> bool:
+        return bool(self.vol_grid.shape[1] > 1)
+
 
 def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
     """Flatten a committed scene graph into SoA device arrays."""
-    # dense material / volume keying
-    mat_keys = [k for k, d in scene.data.items() if d.as_material() is not None]
-    vol_keys = [k for k, d in scene.data.items() if d.as_volume() is not None]
-    mat_index = {k: i for i, k in enumerate(sorted(mat_keys))}
-    vol_index = {k: i for i, k in enumerate(sorted(vol_keys))}
+    vol_keys = sorted(k for k, d in scene.data.items() if d.as_volume() is not None)
+    vol_index = {k: i for i, k in enumerate(vol_keys)}
 
-    K = max(1, len(mat_keys))
-    mat_type = np.zeros(K, np.int32)
-    mat_albedo = np.zeros((K, 3), np.float32)
-    mat_rough = np.zeros(K, np.float32)
-    mat_ior = np.ones(K, np.float32)
-    mat_emitted = np.zeros((K, 3), np.float32)
-    for key, idx in mat_index.items():
+    def mat(key):
         m = scene.data[key].as_material()
-        mat_type[idx] = _MATERIAL_CODES[m.kind]
-        mat_albedo[idx] = m.albedo
-        mat_rough[idx] = m.roughness
-        mat_ior[idx] = m.ior
-        if m.kind == "flat":
-            # Flat emits its albedo (``src/scene/data/material.rs:76``)
-            mat_emitted[idx] = m.albedo
-        elif m.kind == "emissive":
-            mat_emitted[idx] = np.asarray(m.albedo) * m.intensity
+        assert m is not None, "expected material data"
+        return m
 
-    # primitives
-    sph_center, sph_radius, sph_mat, sph_vol, sph_obj = [], [], [], [], []
-    rct_center, rct_x, rct_y, rct_z, rct_hw, rct_hh, rct_mat = [], [], [], [], [], [], []
+    sph = {k: [] for k in ("center", "radius", "mtype", "albedo", "rough", "ior",
+                           "emitted", "vol_grid", "vol_size")}
+    rct = {k: [] for k in ("center", "x", "y", "z", "hw", "hh", "mtype", "albedo",
+                           "rough", "ior", "emitted")}
     sphere_row_of_obj: dict[int, int] = {}
-    rect_rows_of_obj: dict[int, list[int]] = {}
+
+    def add_rect(world, offset, rect: Rect) -> None:
+        m = mat(rect.material)
+        rct["center"].append(transform_point(world, offset))
+        rct["x"].append(transform_vector(world, rect.x))
+        rct["y"].append(transform_vector(world, rect.y))
+        rct["z"].append(transform_vector(world, rect.z))
+        rct["hw"].append(rect.half_width)
+        rct["hh"].append(rect.half_height)
+        rct["mtype"].append(_MATERIAL_CODES[m.kind])
+        rct["albedo"].append(m.albedo)
+        rct["rough"].append(m.roughness)
+        rct["ior"].append(m.ior)
+        rct["emitted"].append(_emitted_of(m))
 
     for ref, obj in scene.pairs():
         world = obj.transform.world
         inner = obj.inner
         if isinstance(inner, Sphere):
-            sphere_row_of_obj[ref] = len(sph_radius)
-            sph_center.append(world[:, 3])
-            sph_radius.append(inner.radius)
-            sph_mat.append(mat_index[inner.material])
-            sph_vol.append(-1 if inner.volume is None else vol_index[inner.volume])
-            sph_obj.append(ref)
+            m = mat(inner.material)
+            sphere_row_of_obj[ref] = len(sph["radius"])
+            sph["center"].append(world[:, 3])
+            sph["radius"].append(inner.radius)
+            sph["mtype"].append(_MATERIAL_CODES[m.kind])
+            sph["albedo"].append(m.albedo)
+            sph["rough"].append(m.roughness)
+            sph["ior"].append(m.ior)
+            sph["emitted"].append(_emitted_of(m))
+            if inner.volume is not None:
+                vol = scene.data[inner.volume].as_volume()
+                sph["vol_grid"].append(vol_index[inner.volume])
+                sph["vol_size"].append(np.asarray(vol.size, np.float32))
+            else:
+                sph["vol_grid"].append(-1)
+                sph["vol_size"].append(np.zeros(3, np.float32))
         elif isinstance(inner, Rect):
-            rect_rows_of_obj[ref] = [len(rct_hw)]
-            _append_rect(world, np.zeros(3), inner,
-                         rct_center, rct_x, rct_y, rct_z, rct_hw, rct_hh, rct_mat, mat_index)
+            add_rect(world, np.zeros(3), inner)
         elif isinstance(inner, Cuboid):
-            rows = []
             for offset, rect in inner.faces:
-                rows.append(len(rct_hw))
-                _append_rect(world, offset, rect,
-                             rct_center, rct_x, rct_y, rct_z, rct_hw, rct_hh, rct_mat, mat_index)
-            rect_rows_of_obj[ref] = rows
+                add_rect(world, offset, rect)
         # Camera / Empty objects are not hit-testable (``object/mod.rs:178``)
-
-    Ns = _round8(len(sph_radius))
-    Nr = _round8(len(rct_hw))
-    sph_valid = np.zeros(Ns, bool)
-    sph_valid[: len(sph_radius)] = True
-    rct_valid = np.zeros(Nr, bool)
-    rct_valid[: len(rct_hw)] = True
 
     # lights
     lights = [(ref, obj) for ref, obj in scene.pairs() if obj.has_flags(ObjectFlags.LIGHT)]
     L = max(1, len(lights))
-    light_kind = np.zeros(L, np.int32)
-    light_sphere = np.full(L, -1, np.int32)
-    light_faces = np.full((L, MAX_LIGHT_FACES), -1, np.int32)
-    light_face_cdf = np.ones((L, MAX_LIGHT_FACES), np.float32)
+    F = MAX_LIGHT_FACES
+    lk = np.zeros(L, np.int32)
+    lsc = np.zeros((L, 3), np.float32)
+    lsr = np.ones(L, np.float32)
+    lfc = np.zeros((L, F, 3), np.float32)
+    lfx = np.zeros((L, F, 3), np.float32)
+    lfy = np.zeros((L, F, 3), np.float32)
+    lfz = np.tile(np.array([0, 0, 1], np.float32), (L, F, 1))
+    lfhw = np.ones((L, F), np.float32)
+    lfhh = np.ones((L, F), np.float32)
+    lcdf = np.ones((L, F), np.float32)
+    lval = np.zeros((L, F), bool)
     for i, (ref, obj) in enumerate(lights):
         if isinstance(obj.inner, Sphere):
-            light_kind[i] = 0
-            light_sphere[i] = sphere_row_of_obj[ref]
+            lk[i] = 0
+            lsc[i] = obj.transform.world[:, 3]
+            lsr[i] = obj.inner.radius
         else:
-            light_kind[i] = 1
-            rows = rect_rows_of_obj[ref]
-            light_faces[i, : len(rows)] = rows
-            if isinstance(obj.inner, Cuboid):
-                areas = np.array([rect.area for _, rect in obj.inner.faces], np.float32)
-            else:
-                areas = np.array([obj.inner.area], np.float32)
+            lk[i] = 1
+            world = obj.transform.world
+            faces = (
+                obj.inner.faces
+                if isinstance(obj.inner, Cuboid)
+                else [(np.zeros(3), obj.inner)]
+            )
+            areas = np.array([r.area for _, r in faces], np.float32)
             cdf = np.cumsum(areas / areas.sum())
-            light_face_cdf[i, : len(rows)] = cdf
-            light_face_cdf[i, len(rows):] = 1.0
+            for j, (off, r) in enumerate(faces):
+                lfc[i, j] = transform_point(world, off)
+                lfx[i, j] = transform_vector(world, r.x)
+                lfy[i, j] = transform_vector(world, r.y)
+                lfz[i, j] = transform_vector(world, r.z)
+                lfhw[i, j] = r.half_width
+                lfhh[i, j] = r.half_height
+                lcdf[i, j] = cdf[j]
+                lval[i, j] = True
+            lcdf[i, len(faces):] = 1.0
 
     # volumes: pad all grids to a common [D,H,W]
     if vol_keys:
-        grids = [scene.data[k].as_volume() for k in sorted(vol_keys)]
+        grids = [scene.data[k].as_volume() for k in vol_keys]
         D = max(g.depth for g in grids)
         H = max(g.height for g in grids)
         W = max(g.width for g in grids)
         vol_grid = np.zeros((len(grids), D, H, W), np.float32)
-        vol_size = np.zeros((len(grids), 3), np.float32)
         for i, g in enumerate(grids):
             vol_grid[i, : g.depth, : g.height, : g.width] = g.grid()
-            vol_size[i] = g.size
     else:
         vol_grid = np.zeros((1, 1, 1, 1), np.float32)
-        vol_size = np.zeros((1, 3), np.float32)
 
     # geodesic masses: objects tagged "mass:<schwarzschild_radius>"
     mass_center, mass_rs = [], []
@@ -230,56 +279,55 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
             mass_center.append(obj.transform.world[:, 3])
             mass_rs.append(float(obj.tag.split(":", 1)[1]))
 
-    f = lambda x: jnp.asarray(np.asarray(x, np.float32), dtype=dtype)  # noqa: E731
+    root = scene.root_material_data()
+
+    f = lambda x, shape=None: jnp.asarray(  # noqa: E731
+        np.asarray(x, np.float32).reshape(shape) if shape else np.asarray(x, np.float32),
+        dtype=dtype,
+    )
     i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))  # noqa: E731
 
+    Ns = len(sph["radius"])
+    Nr = len(rct["hw"])
     return SceneArrays(
-        sph_center=f(_pad_rows(np.asarray(sph_center, np.float32).reshape(-1, 3), Ns)),
-        sph_radius=f(_pad_rows(np.asarray(sph_radius, np.float32), Ns)),
-        sph_mat=i32(_pad_rows(np.asarray(sph_mat, np.int32), Ns)),
-        sph_vol=i32(_pad_rows(np.asarray(sph_vol, np.int32) + 1, Ns) - 1),
-        sph_valid=jnp.asarray(sph_valid),
-        rct_center=f(_pad_rows(np.asarray(rct_center, np.float32).reshape(-1, 3), Nr)),
-        rct_x=f(_pad_rows(np.asarray(rct_x, np.float32).reshape(-1, 3), Nr)),
-        rct_y=f(_pad_rows(np.asarray(rct_y, np.float32).reshape(-1, 3), Nr)),
-        rct_z=f(_pad_rows(np.asarray(rct_z, np.float32).reshape(-1, 3), Nr)),
-        rct_hw=f(_pad_rows(np.asarray(rct_hw, np.float32), Nr)),
-        rct_hh=f(_pad_rows(np.asarray(rct_hh, np.float32), Nr)),
-        rct_mat=i32(_pad_rows(np.asarray(rct_mat, np.int32), Nr)),
-        rct_valid=jnp.asarray(rct_valid),
-        mat_type=i32(mat_type),
-        mat_albedo=f(mat_albedo),
-        mat_rough=f(mat_rough),
-        mat_ior=f(mat_ior),
-        mat_emitted=f(mat_emitted),
-        root_mat=i32(mat_index[scene.root_material]),
-        light_kind=i32(light_kind),
-        light_sphere=i32(light_sphere),
-        light_faces=i32(light_faces),
-        light_face_cdf=f(light_face_cdf),
-        num_lights=i32(len(lights)),
+        sph_center=f(sph["center"], (Ns, 3)),
+        sph_radius=f(sph["radius"], (Ns,)),
+        sph_mtype=i32(sph["mtype"]).reshape(Ns),
+        sph_albedo=f(sph["albedo"], (Ns, 3)),
+        sph_rough=f(sph["rough"], (Ns,)),
+        sph_ior=f(sph["ior"], (Ns,)),
+        sph_emitted=f(sph["emitted"], (Ns, 3)),
+        sph_vol_grid=i32(sph["vol_grid"]).reshape(Ns),
+        sph_vol_size=f(sph["vol_size"], (Ns, 3)),
+        rct_center=f(rct["center"], (Nr, 3)),
+        rct_x=f(rct["x"], (Nr, 3)),
+        rct_y=f(rct["y"], (Nr, 3)),
+        rct_z=f(rct["z"], (Nr, 3)),
+        rct_hw=f(rct["hw"], (Nr,)),
+        rct_hh=f(rct["hh"], (Nr,)),
+        rct_mtype=i32(rct["mtype"]).reshape(Nr),
+        rct_albedo=f(rct["albedo"], (Nr, 3)),
+        rct_rough=f(rct["rough"], (Nr,)),
+        rct_ior=f(rct["ior"], (Nr,)),
+        rct_emitted=f(rct["emitted"], (Nr, 3)),
+        root_mtype=i32(_MATERIAL_CODES[root.kind]),
+        root_albedo=f(root.albedo),
+        root_emitted=f(_emitted_of(root)),
+        light_kind=i32(lk),
+        light_sph_center=f(lsc),
+        light_sph_radius=f(lsr),
+        light_face_center=f(lfc),
+        light_face_x=f(lfx),
+        light_face_y=f(lfy),
+        light_face_z=f(lfz),
+        light_face_hw=f(lfhw),
+        light_face_hh=f(lfhh),
+        light_face_cdf=f(lcdf),
+        light_face_valid=jnp.asarray(lval),
         vol_grid=f(vol_grid),
-        vol_size=f(vol_size),
         mass_center=f(np.asarray(mass_center, np.float32).reshape(-1, 3)),
-        mass_rs=f(np.asarray(mass_rs, np.float32)),
+        mass_rs=f(np.asarray(mass_rs, np.float32).reshape(-1)),
     )
-
-
-def _append_rect(world, offset, rect: Rect,
-                 centers, xs, ys, zs, hws, hhs, mats, mat_index) -> None:
-    """Bake one rect row: world-space center + rotated basis.
-
-    For cuboid faces, the reference uses ``transform * translation(offset)``
-    (``src/scene/object/cuboid.rs:95``); its translation column is
-    ``transform_point(world, offset)`` and the rotation is the object's.
-    """
-    centers.append(transform_point(world, offset))
-    xs.append(transform_vector(world, rect.x))
-    ys.append(transform_vector(world, rect.y))
-    zs.append(transform_vector(world, rect.z))
-    hws.append(rect.half_width)
-    hhs.append(rect.half_height)
-    mats.append(mat_index[rect.material])
 
 
 def find_camera(scene: Scene, tag: str = "camera") -> tuple[Camera, np.ndarray]:

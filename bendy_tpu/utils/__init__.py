@@ -1,1 +1,1 @@
-from bendy_tpu.utils import color, image, rng, vecmath  # noqa: F401
+from bendy_tpu.utils import color, image, rng, v3  # noqa: F401

@@ -1,42 +1,79 @@
-"""Deterministic RNG key derivation.
+"""Deterministic counter-based RNG: raw Threefry-2x32-20 on [B] u32 arrays.
 
 The reference seeds one ``SmallRng`` per screen chunk from OS entropy
-(``src/tracer/mod.rs:240``), which makes renders non-reproducible and
-shard-count dependent. We instead derive a threefry key per *lane* —
-a (pixel, sample, pass) triple — so that
+(``src/tracer/mod.rs:240``) — non-reproducible and shard-count dependent.
+We instead hash (seed, pass, lane, iteration, slot) through Threefry, so:
 
 - the same seed renders the same image, bit for bit,
-- a sharded render equals the single-device render exactly (key
-  derivation is independent of the device layout),
-- progressive passes never reuse streams.
+- sharded / row-chunked / sample-chunked renders are IDENTICAL to the
+  single-dispatch render (lane ids are global),
+- no per-lane key state is carried: pure counter-mode, pure [B] u32
+  elementwise ops that fuse into the surrounding VPU kernels. (The earlier
+  typed-key + vmap(fold_in) formulation cost ~15 ms per wavefront
+  iteration at 512k lanes; this costs microseconds.)
+
+Threefry-2x32-20 is the same PRF JAX's own PRNG builds on (Salmon et al.,
+SC'11); implemented here directly so the counter layout is explicit.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
+_ROT_A = (13, 15, 26, 6)
+_ROT_B = (17, 29, 16, 24)
+_PARITY = 0x1BD11BDA
 
-def lane_keys(seed: int | jax.Array, pass_idx: int | jax.Array, lane_idx: jnp.ndarray) -> jax.Array:
-    """One key per lane: fold (pass, lane) into the base seed.
 
-    ``lane_idx`` is an int32 array of global lane indices; the result has
-    one threefry key per entry, stable under sharding since lane indices
-    are global.
+def _rotl(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    return (x << r) | (x >> (32 - r))
+
+
+def threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32, 20 rounds. All args uint32 arrays/scalars; returns 2 words."""
+    k0 = jnp.asarray(k0, jnp.uint32)
+    k1 = jnp.asarray(k1, jnp.uint32)
+    x0 = jnp.asarray(x0, jnp.uint32)
+    x1 = jnp.asarray(x1, jnp.uint32)
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(_PARITY))
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for g in range(1, 6):
+        rots = _ROT_A if g % 2 == 1 else _ROT_B
+        for r in rots:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[g % 3]
+        x1 = x1 + ks[(g + 1) % 3] + jnp.uint32(g)
+    return x0, x1
+
+
+def _to_unit_float(bits: jnp.ndarray) -> jnp.ndarray:
+    """u32 -> f32 in [0, 1): top 24 bits scaled by 2^-24."""
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def render_key(seed, pass_idx) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hash (seed, pass) into a per-pass key pair."""
+    return threefry2x32(jnp.uint32(0x9E3779B9), jnp.uint32(0xBB67AE85), seed, pass_idx)
+
+
+def lane_uniforms(key: tuple, lane: jnp.ndarray, tag, n: int) -> list[jnp.ndarray]:
+    """``n`` independent U[0,1) floats per lane for stream ``tag``.
+
+    tag identifies the draw site (wavefront iteration 0..2^20, camera =
+    CAMERA_TAG, ...); counter = (lane, tag*16 + block) is unique for
+    n <= 32.
     """
-    if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key):
-        base = seed
-    else:
-        base = jax.random.key(seed)
-    base = jax.random.fold_in(base, pass_idx)
-    return jax.vmap(lambda i: jax.random.fold_in(base, i))(lane_idx)
+    k0, k1 = key
+    out = []
+    base = jnp.asarray(tag, jnp.uint32) * jnp.uint32(16)
+    for block in range((n + 1) // 2):
+        b0, b1 = threefry2x32(k0, k1, lane.astype(jnp.uint32), base + jnp.uint32(block))
+        out.append(_to_unit_float(b0))
+        out.append(_to_unit_float(b1))
+    return out[:n]
 
 
-def iter_uniforms(keys: jax.Array, it: jax.Array, n: int) -> jnp.ndarray:
-    """Draw ``n`` U[0,1) floats per lane for loop iteration ``it``.
-
-    A fresh subkey per (lane, iteration) keeps draws independent across
-    wavefront steps without carrying mutable RNG state.
-    """
-    sub = jax.vmap(lambda k: jax.random.fold_in(k, it))(keys)
-    return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(sub)
+CAMERA_TAG = 0x100000  # wavefront iterations use tags < 2^20

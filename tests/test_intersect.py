@@ -13,8 +13,22 @@ from bendy_tpu.ops.intersect import (
     light_pdf,
     nearest_hit,
 )
-from bendy_tpu.scene import Data, DensityMap, Material, Object, ObjectFlags, Scene, Sphere, compile_scene
+from bendy_tpu.scene import (
+    Data,
+    DensityMap,
+    Material,
+    Object,
+    ObjectFlags,
+    Scene,
+    Sphere,
+    compile_scene,
+)
 from bendy_tpu.scene.graph import Cuboid, Rect
+from bendy_tpu.utils.v3 import V3
+
+
+def v3(x, y, z, n=1):
+    return V3(jnp.full(n, float(x)), jnp.full(n, float(y)), jnp.full(n, float(z)))
 
 
 def single_sphere_scene(radius=1.0, center=(0, 0, -5), volume=False):
@@ -31,10 +45,9 @@ def single_sphere_scene(radius=1.0, center=(0, 0, -5), volume=False):
 
 def trace_one(scene, org, dir, cmin=0.01, cmax=1000.0, **kw):
     arr = compile_scene(scene)
-    org = jnp.asarray([org], jnp.float32)
-    dir = jnp.asarray([dir], jnp.float32)
-    B = org.shape[0]
-    return nearest_hit(org, dir, jnp.full(B, cmin), jnp.full(B, cmax), arr, **kw), arr
+    o = v3(*org)
+    d = v3(*dir)
+    return nearest_hit(o, d, jnp.full(1, cmin), jnp.full(1, cmax), arr, **kw), arr
 
 
 class TestSphere:
@@ -42,17 +55,21 @@ class TestSphere:
         hit, _ = trace_one(single_sphere_scene(), [0, 0, 0], [0, 0, -1])
         assert bool(hit.valid[0])
         assert float(hit.t[0]) == pytest.approx(4.0)
-        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+        np.testing.assert_allclose(
+            [hit.normal.x[0], hit.normal.y[0], hit.normal.z[0]], [0, 0, 1], atol=1e-6
+        )
         assert int(hit.face[0]) == FACE_FRONT
+        # inline material carried by the hit
+        assert int(hit.mtype[0]) == 1  # diffuse
+        assert float(hit.albedo.x[0]) == pytest.approx(0.5)
 
     def test_from_inside_far_root(self):
         """Near root behind: reference falls back to the far root
         (``sphere.rs:139-145``)."""
         hit, _ = trace_one(single_sphere_scene(), [0, 0, -5], [0, 0, -1])
         assert float(hit.t[0]) == pytest.approx(1.0)
-        # back face: normal flipped toward the ray
         assert int(hit.face[0]) == FACE_BACK
-        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+        np.testing.assert_allclose(hit.normal.z[0], 1.0, atol=1e-6)
 
     def test_miss(self):
         hit, _ = trace_one(single_sphere_scene(), [0, 0, 0], [0, 1, 0])
@@ -67,6 +84,7 @@ class TestSphere:
     def test_volume_faces(self):
         hit, _ = trace_one(single_sphere_scene(volume=True), [0, 0, 0], [0, 0, -1])
         assert int(hit.face[0]) == FACE_VOLUME_FRONT
+        assert int(hit.vol_grid[0]) == 0
         hit, _ = trace_one(single_sphere_scene(volume=True), [0, 0, -5], [0, 0, -1])
         assert int(hit.face[0]) == FACE_VOLUME_BACK
 
@@ -74,25 +92,26 @@ class TestSphere:
         """Inside test at t = clip.max (``sphere.rs:150-166``)."""
         scene = single_sphere_scene(volume=True)
         arr = compile_scene(scene)
-        org = jnp.asarray([[0, 0, -5]], jnp.float32)
-        dir = jnp.asarray([[0, 0, -1]], jnp.float32)
         hit = nearest_hit(
-            org, dir, jnp.zeros(1), jnp.full(1, 0.1), arr,
+            v3(0, 0, -5), v3(0, 0, -1), jnp.zeros(1), jnp.full(1, 0.1), arr,
             march=jnp.array([True]), last_sphere=jnp.array([0]),
         )
         assert bool(hit.valid[0])
         assert int(hit.face[0]) == FACE_VOLUME
         assert float(hit.t[0]) == pytest.approx(0.1)
-        np.testing.assert_allclose(hit.normal[0], 0.0)
+        np.testing.assert_allclose(
+            [hit.normal.x[0], hit.normal.y[0], hit.normal.z[0]], 0.0
+        )
+        # bbox for density coords = sphere AABB (``sphere.rs:35-38``)
+        np.testing.assert_allclose(hit.bbox_min.z[0], -6.0, atol=1e-6)
+        np.testing.assert_allclose(hit.bbox_size.x[0], 2.0, atol=1e-6)
 
     def test_interior_march_exit(self):
         """Point at t=step outside: falls back to the surface hit."""
         scene = single_sphere_scene(volume=True)
         arr = compile_scene(scene)
-        org = jnp.asarray([[0, 0, -5.95]], jnp.float32)
-        dir = jnp.asarray([[0, 0, -1]], jnp.float32)
         hit = nearest_hit(
-            org, dir, jnp.zeros(1), jnp.full(1, 0.1), arr,
+            v3(0, 0, -5.95), v3(0, 0, -1), jnp.zeros(1), jnp.full(1, 0.1), arr,
             march=jnp.array([True]), last_sphere=jnp.array([0]),
         )
         assert bool(hit.valid[0])
@@ -114,12 +133,12 @@ class TestRect:
         hit, _ = trace_one(self.scene(), [0, 0, 0], [0, 0, -1])
         assert float(hit.t[0]) == pytest.approx(3.0)
         assert int(hit.face[0]) == FACE_FRONT
-        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+        np.testing.assert_allclose(hit.normal.z[0], 1.0, atol=1e-6)
 
     def test_back_face(self):
         hit, _ = trace_one(self.scene(), [0, 0, -6], [0, 0, 1])
         assert int(hit.face[0]) == FACE_BACK
-        np.testing.assert_allclose(hit.normal[0], [0, 0, -1], atol=1e-6)
+        np.testing.assert_allclose(hit.normal.z[0], -1.0, atol=1e-6)
 
     def test_containment(self):
         hit, _ = trace_one(self.scene(), [1.01, 0, 0], [0, 0, -1])
@@ -146,13 +165,13 @@ class TestCuboid:
         # reference quirk: cuboid face bases point inward (the +z face is
         # built from (-x, y), ``cuboid.rs:19-30``), so an outside hit is a
         # BACK face whose normal gets flipped toward the ray
-        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+        np.testing.assert_allclose(hit.normal.z[0], 1.0, atol=1e-6)
         assert int(hit.face[0]) == FACE_BACK
         # from the inside, the far face at z=-6 reports FRONT
         hit, _ = trace_one(scene, [0, 0, -5], [0, 0, -1])
         assert float(hit.t[0]) == pytest.approx(1.0)
         assert int(hit.face[0]) == FACE_FRONT
-        np.testing.assert_allclose(hit.normal[0], [0, 0, 1], atol=1e-6)
+        np.testing.assert_allclose(hit.normal.z[0], 1.0, atol=1e-6)
 
 
 class TestLightPdf:
@@ -160,17 +179,18 @@ class TestLightPdf:
         """pdf = t² / (π r²) (``sphere.rs:44-61``)."""
         scene = single_sphere_scene(radius=1.0, center=(0, 0, -5))
         arr = compile_scene(scene)
-        org = jnp.zeros((1, 3))
-        dir = jnp.asarray([[0, 0, -1.0]])
-        pdf = light_pdf(org, dir, jnp.full(1, 0.01), jnp.full(1, 1000.0), arr, jnp.array([0]))
+        pdf = light_pdf(
+            v3(0, 0, 0), v3(0, 0, -1), jnp.full(1, 0.01), jnp.full(1, 1000.0), arr,
+            jnp.array([0]),
+        )
         assert float(pdf[0]) == pytest.approx(16.0 / np.pi, rel=1e-5)
 
     def test_sphere_pdf_miss_is_zero(self):
         scene = single_sphere_scene()
         arr = compile_scene(scene)
         pdf = light_pdf(
-            jnp.zeros((1, 3)), jnp.asarray([[0, 1.0, 0]]),
-            jnp.full(1, 0.01), jnp.full(1, 1000.0), arr, jnp.array([0]),
+            v3(0, 0, 0), v3(0, 1, 0), jnp.full(1, 0.01), jnp.full(1, 1000.0), arr,
+            jnp.array([0]),
         )
         assert float(pdf[0]) == 0.0
 
@@ -185,10 +205,27 @@ class TestLightPdf:
         )
         arr = compile_scene(scene)
         pdf = light_pdf(
-            jnp.zeros((1, 3)), jnp.asarray([[0, 0, -1.0]]),
-            jnp.full(1, 0.01), jnp.full(1, 1000.0), arr, jnp.array([0]),
+            v3(0, 0, 0), v3(0, 0, -1), jnp.full(1, 0.01), jnp.full(1, 1000.0), arr,
+            jnp.array([0]),
         )
         assert float(pdf[0]) == pytest.approx(16.0 / (4 * 1.0 * 2.0 * 1.0), rel=1e-5)
+
+    def test_cuboid_pdf_uses_nearest_face(self):
+        """Nearest face's pdf (``cuboid.rs:56-81``)."""
+        scene = Scene()
+        mat = scene.add_data(Data(Material.emissive((1, 1, 1), 5.0)))
+        scene.add_object(
+            Object(Cuboid.from_axes(mat, [1, 0, 0], [0, 1, 0], [0, 0, 1]))
+            .with_translation([0, 0, -5])
+            .with_flags(ObjectFlags.LIGHT)
+        )
+        arr = compile_scene(scene)
+        pdf = light_pdf(
+            v3(0, 0, 0), v3(0, 0, -1), jnp.full(1, 0.01), jnp.full(1, 1000.0), arr,
+            jnp.array([0]),
+        )
+        # nearest face at z=-4 (t=4), area 4 (2x2 face), |d·n| = 1
+        assert float(pdf[0]) == pytest.approx(16.0 / 4.0, rel=1e-5)
 
 
 def test_nearest_hit_picks_closest():
@@ -196,7 +233,11 @@ def test_nearest_hit_picks_closest():
     mat = scene.add_data(Data(Material.diffuse((0.5, 0.5, 0.5), 1.0)))
     scene.add_object(Object(Sphere(material=mat, radius=1.0)).with_translation([0, 0, -10]))
     scene.add_object(Object(Rect.from_edges(mat, [5, 0, 0], [0, 5, 0])).with_translation([0, 0, -6]))
-    scene.add_object(Object(Sphere(material=mat, radius=1.0)).with_translation([0, 0, -3]).with_flags(ObjectFlags.LIGHT))
+    scene.add_object(
+        Object(Sphere(material=mat, radius=1.0)).with_translation([0, 0, -3]).with_flags(
+            ObjectFlags.LIGHT
+        )
+    )
     hit, _ = trace_one(scene, [0, 0, 0], [0, 0, -1])
     assert float(hit.t[0]) == pytest.approx(2.0)
     assert int(hit.sphere_row[0]) >= 0

@@ -1,18 +1,17 @@
-"""Unit tests for vector math and sampling distributions.
+"""Unit tests for V3 vector math, RNG, and sampling distributions.
 
 The reference has essentially no tests (SURVEY.md §4); these validate every
 formula against closed forms and the distributions against their analytic
 moments.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from bendy_tpu.ops import distr
-from bendy_tpu.utils import vecmath
 from bendy_tpu.utils.color import linear_to_srgb, srgb_to_linear
+from bendy_tpu.utils.rng import lane_uniforms, render_key, threefry2x32
+from bendy_tpu.utils.v3 import V3
 
 
 def uniforms(n, d, seed=0):
@@ -20,58 +19,71 @@ def uniforms(n, d, seed=0):
     return [jnp.asarray(rng.random(n), jnp.float32) for _ in range(d)]
 
 
-class TestVecmath:
+def randv3(n, seed=0, unit=True):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(3, n)).astype(np.float32)
+    if unit:
+        a /= np.linalg.norm(a, axis=0)
+    return V3(jnp.asarray(a[0]), jnp.asarray(a[1]), jnp.asarray(a[2]))
+
+
+class TestV3:
     def test_reflect(self):
-        v = jnp.array([[1.0, -1.0, 0.0]]) / np.sqrt(2)
-        n = jnp.array([[0.0, 1.0, 0.0]])
-        out = vecmath.reflect(v, n)
-        np.testing.assert_allclose(out, [[1 / np.sqrt(2), 1 / np.sqrt(2), 0.0]], atol=1e-6)
+        v = V3.of(1 / np.sqrt(2), -1 / np.sqrt(2), 0.0)
+        n = V3.of(0.0, 1.0, 0.0)
+        out = v.reflect(n)
+        np.testing.assert_allclose(
+            [out.x, out.y, out.z], [1 / np.sqrt(2), 1 / np.sqrt(2), 0.0], atol=1e-6
+        )
 
     def test_reflect_preserves_length(self):
-        rng = np.random.default_rng(1)
-        v = vecmath.normalize(jnp.asarray(rng.normal(size=(64, 3)), jnp.float32))
-        n = vecmath.normalize(jnp.asarray(rng.normal(size=(64, 3)), jnp.float32))
-        out = vecmath.reflect(v, n)
-        np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+        v = randv3(64, 1)
+        n = randv3(64, 2)
+        out = v.reflect(n)
+        np.testing.assert_allclose(out.length(), 1.0, atol=1e-5)
 
     def test_refract_snell(self):
-        # 45° incidence air->glass (relative ior = 1/1.5 entering)
         theta_i = np.pi / 4
-        v = jnp.array([[np.sin(theta_i), -np.cos(theta_i), 0.0]], dtype=jnp.float32)
-        n = jnp.array([[0.0, 1.0, 0.0]], dtype=jnp.float32)
+        v = V3.of(np.sin(theta_i), -np.cos(theta_i), 0.0)
+        n = V3.of(0.0, 1.0, 0.0)
         ior = 1.0 / 1.5
-        out = np.asarray(vecmath.refract(v, n, jnp.float32(ior)))[0]
-        sin_t = abs(out[0]) / np.linalg.norm(out)
+        out = v.refract(n, ior)
+        sin_t = float(jnp.abs(out.x) / out.length())
         np.testing.assert_allclose(sin_t, ior * np.sin(theta_i), atol=1e-6)
 
     def test_fresnel_normal_incidence(self):
-        v = jnp.array([[0.0, -1.0, 0.0]])
-        n = jnp.array([[0.0, 1.0, 0.0]])
+        v = V3.of(0.0, -1.0, 0.0)
+        n = V3.of(0.0, 1.0, 0.0)
         ior = 1.0 / 1.5
         r0 = ((1 - ior) / (1 + ior)) ** 2
-        np.testing.assert_allclose(vecmath.fresnel_schlick(v, n, ior), [r0], atol=1e-6)
+        np.testing.assert_allclose(v.fresnel(n, ior), r0, atol=1e-6)
 
     def test_fresnel_grazing(self):
-        v = jnp.array([[1.0, -1e-4, 0.0]])
-        v = vecmath.normalize(v)
-        n = jnp.array([[0.0, 1.0, 0.0]])
-        fr = float(vecmach_fr := vecmath.fresnel_schlick(v, n, 1.0 / 1.5)[0])
-        assert fr > 0.99
+        v = V3.of(1.0, -1e-4, 0.0).normalize()
+        n = V3.of(0.0, 1.0, 0.0)
+        assert float(v.fresnel(n, 1.0 / 1.5)) > 0.99
 
     def test_orthonormal_frame(self):
-        rng = np.random.default_rng(2)
-        n = vecmath.normalize(jnp.asarray(rng.normal(size=(256, 3)), jnp.float32))
-        t, b = vecmath.orthonormal_frame(n)
-        np.testing.assert_allclose(vecmath.dot(t, n), 0.0, atol=1e-5)
-        np.testing.assert_allclose(vecmath.dot(b, n), 0.0, atol=1e-5)
-        np.testing.assert_allclose(vecmath.dot(t, b), 0.0, atol=1e-5)
-        np.testing.assert_allclose(np.linalg.norm(t, axis=-1), 1.0, atol=1e-5)
+        n = randv3(256, 2)
+        t, b = n.orthonormal_frame()
+        np.testing.assert_allclose(t.dot(n), 0.0, atol=1e-5)
+        np.testing.assert_allclose(b.dot(n), 0.0, atol=1e-5)
+        np.testing.assert_allclose(t.dot(b), 0.0, atol=1e-5)
+        np.testing.assert_allclose(t.length(), 1.0, atol=1e-5)
 
     def test_normalize_or_zero(self):
-        v = jnp.array([[3.0, 0.0, 4.0], [0.0, 0.0, 0.0]])
-        out = np.asarray(vecmath.normalize_or_zero(v))
-        np.testing.assert_allclose(out[0], [0.6, 0.0, 0.8], atol=1e-6)
-        np.testing.assert_allclose(out[1], 0.0)
+        v = V3(jnp.array([3.0, 0.0]), jnp.array([0.0, 0.0]), jnp.array([4.0, 0.0]))
+        out = v.normalize_or_zero()
+        np.testing.assert_allclose(out.x, [0.6, 0.0], atol=1e-6)
+        np.testing.assert_allclose(out.z, [0.8, 0.0], atol=1e-6)
+
+    def test_cross_lerp(self):
+        a = V3.of(1.0, 0.0, 0.0)
+        b = V3.of(0.0, 1.0, 0.0)
+        c = a.cross(b)
+        np.testing.assert_allclose([c.x, c.y, c.z], [0, 0, 1], atol=1e-7)
+        m = a.lerp(b, 0.25)
+        np.testing.assert_allclose([m.x, m.y, m.z], [0.75, 0.25, 0.0], atol=1e-7)
 
 
 class TestColor:
@@ -89,33 +101,36 @@ class TestColor:
 class TestDistributions:
     N = 200_000
 
+    def normal(self, z=1.0):
+        n = V3.zeros(self.N)
+        return V3(n.x, n.y, n.z + z)
+
     def test_unit_sphere_uniform(self):
         u1, u2 = uniforms(self.N, 2)
-        v = np.asarray(distr.unit_sphere(u1, u2))
-        np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-4)
+        v = distr.unit_sphere(u1, u2)
+        np.testing.assert_allclose(v.length(), 1.0, atol=1e-4)
         # each component has mean 0 and variance 1/3 on the uniform sphere
-        np.testing.assert_allclose(v.mean(axis=0), 0.0, atol=0.01)
-        np.testing.assert_allclose((v**2).mean(axis=0), 1 / 3, atol=0.01)
+        for c in (v.x, v.y, v.z):
+            np.testing.assert_allclose(np.mean(c), 0.0, atol=0.01)
+            np.testing.assert_allclose(np.mean(np.square(c)), 1 / 3, atol=0.01)
 
     def test_cosine_hemisphere_moments(self):
         u1, u2 = uniforms(self.N, 2, seed=3)
-        n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (self.N, 3))
-        v = np.asarray(distr.cosine_hemisphere(n, u1, u2))
-        np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-4)
-        assert (v[:, 2] >= -1e-6).all()
+        v = distr.cosine_hemisphere(self.normal(), u1, u2)
+        np.testing.assert_allclose(v.length(), 1.0, atol=1e-4)
+        assert (np.asarray(v.z) >= -1e-6).all()
         # E[cos theta] = 2/3 for pdf = cos/pi
-        np.testing.assert_allclose(v[:, 2].mean(), 2 / 3, atol=0.005)
+        np.testing.assert_allclose(np.mean(v.z), 2 / 3, atol=0.005)
 
     def test_unit_hemisphere_matches_reference_form(self):
         """z = 1-r2 with the sphere's x,y — intentionally non-unit
         (``src/math/distr.rs:49-58``)."""
         u1, u2 = uniforms(self.N, 2, seed=4)
-        n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (self.N, 3))
-        v = np.asarray(distr.unit_hemisphere(n, u1, u2))
-        assert (v[:, 2] >= -1e-6).all()
-        np.testing.assert_allclose(v[:, 2].mean(), 0.5, atol=0.005)  # E[1-r2]
-        norm2 = (v**2).sum(-1)
-        # E[(1-r2)(1+3 r2)] = E[1+2r2-3r2^2] = 1 + 1 - 1 = 1
+        v = distr.unit_hemisphere(self.normal(), u1, u2)
+        assert (np.asarray(v.z) >= -1e-6).all()
+        np.testing.assert_allclose(np.mean(v.z), 0.5, atol=0.005)  # E[1-r2]
+        norm2 = np.asarray(v.length_squared())
+        # E[(1-r2)(1+3 r2)] = 1 + 2·E[r2] - 3·E[r2²] = 1
         np.testing.assert_allclose(norm2.mean(), 1.0, atol=0.01)
         assert norm2.std() > 0.1  # genuinely non-unit
 
@@ -123,30 +138,46 @@ class TestDistributions:
         """Uniform radius, not sqrt: E[r] = 1/2 (uniform-area would be 2/3)
         — SURVEY quirk #3."""
         u1, u2 = uniforms(self.N, 2, seed=5)
-        n = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (self.N, 3))
-        v = np.asarray(distr.unit_disk(n, u1, u2))
-        np.testing.assert_allclose(v[:, 2], 0.0, atol=1e-6)  # in-plane
-        r = np.linalg.norm(v[:, :2], axis=-1)
+        v = distr.unit_disk(self.normal(-1.0), u1, u2)
+        np.testing.assert_allclose(v.z, 0.0, atol=1e-6)  # in-plane
+        r = np.hypot(np.asarray(v.x), np.asarray(v.y))
         np.testing.assert_allclose(r.mean(), 0.5, atol=0.005)
-        # angle uniform
-        ang = np.arctan2(v[:, 1], v[:, 0])
+        ang = np.arctan2(np.asarray(v.y), np.asarray(v.x))
         hist, _ = np.histogram(ang, bins=16, range=(-np.pi, np.pi))
         assert hist.min() > 0.8 * self.N / 16
 
 
 class TestRng:
-    def test_lane_keys_deterministic(self):
-        from bendy_tpu.utils.rng import iter_uniforms, lane_keys
+    def test_threefry_known_vector(self):
+        """Threefry-2x32-20 test vector (Random123 kat_vectors: zero key,
+        zero counter)."""
+        x0, x1 = threefry2x32(jnp.uint32(0), jnp.uint32(0), jnp.uint32(0), jnp.uint32(0))
+        assert (int(x0), int(x1)) == (0x6B200159, 0x99BA4EFE)
 
-        k1 = lane_keys(7, 0, jnp.arange(16))
-        k2 = lane_keys(7, 0, jnp.arange(16))
-        u1 = iter_uniforms(k1, jnp.int32(3), 4)
-        u2 = iter_uniforms(k2, jnp.int32(3), 4)
-        np.testing.assert_array_equal(u1, u2)
+    def test_threefry_ones_vector(self):
+        x0, x1 = threefry2x32(
+            jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF),
+            jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF),
+        )
+        assert (int(x0), int(x1)) == (0x1CB996FC, 0xBB002BE7)
 
-    def test_lane_keys_distinct_by_pass(self):
-        from bendy_tpu.utils.rng import iter_uniforms, lane_keys
+    def test_uniforms_deterministic_and_distinct(self):
+        key = render_key(jnp.uint32(7), jnp.uint32(0))
+        lane = jnp.arange(1024, dtype=jnp.uint32)
+        a = lane_uniforms(key, lane, 3, 8)
+        b = lane_uniforms(key, lane, 3, 8)
+        for ua, ub in zip(a, b):
+            np.testing.assert_array_equal(ua, ub)
+        c = lane_uniforms(render_key(jnp.uint32(7), jnp.uint32(1)), lane, 3, 8)
+        assert not np.allclose(a[0], c[0])
 
-        u1 = iter_uniforms(lane_keys(7, 0, jnp.arange(16)), jnp.int32(0), 4)
-        u2 = iter_uniforms(lane_keys(7, 1, jnp.arange(16)), jnp.int32(0), 4)
-        assert not np.allclose(u1, u2)
+    def test_uniform_range_and_mean(self):
+        key = render_key(jnp.uint32(1), jnp.uint32(2))
+        lane = jnp.arange(1 << 16, dtype=jnp.uint32)
+        us = lane_uniforms(key, lane, 5, 4)
+        for u in us:
+            u = np.asarray(u)
+            assert (u >= 0).all() and (u < 1).all()
+            np.testing.assert_allclose(u.mean(), 0.5, atol=0.01)
+        # slots are decorrelated
+        assert abs(np.corrcoef(us[0], us[1])[0, 1]) < 0.02

@@ -79,26 +79,26 @@ def test_cornell_contents():
 def test_compile_cornell():
     scene = load_scene("scenes/cornell.json.gz")
     arr = compile_scene(scene)
-    assert int(arr.rct_valid.sum()) == 6 + 2 * 6  # 6 rects + 2 cuboids×6 faces
-    assert int(arr.sph_valid.sum()) == 0
-    assert int(arr.num_lights) == 1
+    assert arr.n_rects == 6 + 2 * 6  # 6 rects + 2 cuboids×6 faces
+    assert arr.n_spheres == 0
+    assert arr.n_lights == 1
     # light is the 0.5-half-extent ceiling rect with intensity 20
-    import jax.numpy as jnp
-
-    li = np.asarray(arr.light_faces)[0]
-    row = li[li >= 0]
-    assert len(row) == 1
-    assert np.asarray(arr.rct_hw)[row[0]] == pytest.approx(0.5)
-    emitted = np.asarray(arr.mat_emitted)
-    assert emitted.max() == pytest.approx(20.0)
+    assert int(np.asarray(arr.light_face_valid)[0].sum()) == 1
+    assert float(np.asarray(arr.light_face_hw)[0, 0]) == pytest.approx(0.5)
+    assert float(np.asarray(arr.rct_emitted).max()) == pytest.approx(20.0)
+    # cuboid faces inherit the inline material of their rects
+    assert set(np.asarray(arr.rct_mtype)) <= {0, 1, 2, 3, 4}
 
 
 def test_compile_volume_scene():
     scene = load_scene("scenes/volume.json.gz")
     arr = compile_scene(scene)
-    assert arr.vol_grid.shape[1:] == (8, 8, 8)
-    assert int(arr.sph_valid.sum()) == 4
-    assert (np.asarray(arr.sph_vol) >= 0).sum() == 1
+    assert arr.vol_grid.shape == (1, 8, 8, 8)
+    assert arr.n_spheres == 4
+    assert (np.asarray(arr.sph_vol_grid) >= 0).sum() == 1
+    # the volume sphere's grid dims ride on the sphere row
+    row = int(np.argmax(np.asarray(arr.sph_vol_grid) >= 0))
+    np.testing.assert_allclose(np.asarray(arr.sph_vol_size)[row], [7.0, 7.0, 7.0])
 
 
 def test_rect_basis_orthonormal():
