@@ -1,0 +1,146 @@
+"""Multi-chip rendering: shard_map over a 2-D device mesh.
+
+The reference's only parallelism is a rayon thread pool over screen tiles
+(``src/tracer/mod.rs:194``) writing a shared film through an unsafe
+aliased pointer (``src/tracer/buffer.rs:311-313``). The TPU-native
+equivalent:
+
+    mesh axes ('tiles', 'samples')
+    - 'tiles':   image rows sharded across chips — zero communication
+                 during tracing (rays are independent),
+    - 'samples': samples-per-pixel sharded across chips — partial films
+                 reduced with one ``psum`` over ICI at pass end.
+
+Because RNG streams are keyed by *global* lane ids (pixel, sample), any
+mesh shape produces the same per-lane radiance values as a single chip;
+only the f32 film-summation order differs. No unsafe aliasing, no
+nondeterministic chunk seeding.
+
+Scene arrays and camera params are small (KBs) and fully replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from bendy_tpu.ops.camera import CameraParams, camera_rays
+from bendy_tpu.ops.wavefront import TraceConfig, trace
+from bendy_tpu.scene.compiler import SceneArrays
+from bendy_tpu.utils.rng import render_key
+from bendy_tpu.utils.v3 import V3
+
+
+def make_mesh(tiles: int, samples: int = 1, devices=None) -> Mesh:
+    """A ('tiles', 'samples') mesh over the first tiles*samples devices."""
+    devices = jax.devices() if devices is None else devices
+    n = tiles * samples
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    import numpy as np
+
+    return Mesh(np.asarray(devices[:n]).reshape(tiles, samples), ("tiles", "samples"))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "spp_local", "subsample", "cfg", "output"),
+)
+def render_pass_sharded(
+    scn: SceneArrays,
+    cam: CameraParams,
+    seed,
+    pass_idx,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp_local: int,
+    subsample: int,
+    cfg: TraceConfig,
+    output: str,
+):
+    """One progressive pass across the mesh.
+
+    Each device renders rows [ti·rows_local, ...) × samples
+    [si·spp_local, ...). Returns (film channel sums [H, W, 3] — rows
+    sharded over 'tiles', already psum-reduced over 'samples' — and the
+    per-pass traced-ray count, summed over the mesh).
+    """
+    n = max(subsample, 1)
+    nn = n * n
+    n_tiles = mesh.shape["tiles"]
+    n_samp = mesh.shape["samples"]
+    if height % n_tiles:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tiles}")
+    rows_local = height // n_tiles
+    spp_total = spp_local * n_samp
+    key = render_key(jnp.asarray(seed, jnp.uint32), jnp.asarray(pass_idx, jnp.uint32))
+
+    def shard_body(scn, cam):
+        ti = jax.lax.axis_index("tiles")
+        si = jax.lax.axis_index("samples")
+        B = rows_local * width * spp_local * nn
+        local = jnp.arange(B, dtype=jnp.uint32)
+        sub = local % jnp.uint32(nn)
+        s_local = (local // jnp.uint32(nn)) % jnp.uint32(spp_local)
+        pix_local = local // jnp.uint32(nn * spp_local)
+        y0 = jnp.asarray(ti, jnp.uint32) * jnp.uint32(rows_local)
+        pix = y0 * jnp.uint32(width) + pix_local
+        s_global = jnp.asarray(si, jnp.uint32) * jnp.uint32(spp_local) + s_local
+        lane = (pix * jnp.uint32(spp_total) + s_global) * jnp.uint32(nn) + sub
+
+        org, direction = camera_rays(cam, width, height, spp_total, n, key, lane)
+        res = trace(scn, org, direction, key, lane, cfg)
+
+        if output == "full":
+            ch = res.radiance
+        elif output == "albedo":
+            ch = res.aov_albedo
+        elif output == "normal":
+            ch = res.aov_normal
+        elif output == "depth":
+            d = (res.aov_depth - cfg.clip_min) / (cfg.clip_max - cfg.clip_min)
+            d = jnp.clip(d, 0.0, 1.0)
+            ch = V3(d, d, d)
+        else:
+            raise ValueError(f"unknown output {output!r}")
+
+        spn = spp_local * nn
+        sums = jnp.stack(
+            [c.reshape(rows_local, width, spn).sum(axis=2) for c in (ch.x, ch.y, ch.z)],
+            axis=-1,
+        )
+        # the only collectives of the whole renderer: film + ray-count
+        # reduction over the sample axis (ICI)
+        sums = jax.lax.psum(sums, "samples")
+        rays = jax.lax.psum(jax.lax.psum(res.rays, "samples"), "tiles")
+        return sums, rays
+
+    body = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P("tiles", None, None), P()),
+        check_vma=False,
+    )
+    return body(scn, cam)
+
+
+def render_film_sharded(
+    scn, cam, mesh, width, height, spp_local, subsample, cfg, output, seed=0, passes=1
+):
+    """Progressive multi-pass sharded render; returns (sums [H,W,3], spp, rays)."""
+    n = max(subsample, 1)
+    total = None
+    rays = 0.0
+    for p in range(passes):
+        sums, r = render_pass_sharded(
+            scn, cam, seed, p, mesh, width, height, spp_local, subsample, cfg, output
+        )
+        total = sums if total is None else total + sums
+        rays += float(r)
+    spp = passes * spp_local * mesh.shape["samples"] * n * n
+    return total, spp, rays
