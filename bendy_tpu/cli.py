@@ -1,0 +1,155 @@
+"""Command-line renderer, mirroring the reference binary's interface.
+
+The reference app (``src/main.rs:49-72``) opens a minifb window and
+progressively renders one sample per frame (``main.rs:245-254``), with
+Ctrl+P screenshots, Ctrl+K/L scene save/reload, and title-bar telemetry
+(``main.rs:352-388``). This is a TPU render node, so the equivalent is
+headless: same flags and defaults, progressive passes with per-sample
+telemetry on stderr, the tonemapped PNG written to ``--screenshot``.
+
+Additions over the reference CLI (marked [+]):
+- ``depth`` output channel (the tracer supports it, the reference CLI
+  forgot it — ``src/main.rs:23-29`` vs ``src/tracer/mod.rs:108-115``),
+- ``--checkpoint``: persist/resume the raw film (sum + spp + pass
+  counter) for exact restarts — the reference only saved tonemapped PNGs,
+- ``--save-scene``: round-trip the scene back to (gzipped) JSON,
+- ``--seed``: deterministic renders (the reference is entropy-seeded),
+- ``--preview-every N``: write intermediate PNGs during long renders.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from bendy_tpu.film import Film
+from bendy_tpu.render import Config, Output, Renderer, RenderConfig, Subsample
+from bendy_tpu.scene import load_scene, save_scene
+from bendy_tpu.scene.graph import Scene, Update, UpdateQueue
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bendy-tpu", description=__doc__.split("\n")[0])
+    # reference flags + defaults (``src/main.rs:49-72``)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument(
+        "--output",
+        choices=["full", "albedo", "normal", "depth"],
+        default="full",
+    )
+    p.add_argument("--samples", type=int, default=64)
+    p.add_argument("--subsample", type=int, default=2)
+    p.add_argument("--screenshot", default="screenshots/render.png")
+    p.add_argument("--scene", default="scene.json")
+    # [+] extensions
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", default=None, help="film checkpoint (.npz) to resume/save")
+    p.add_argument("--save-scene", default=None, help="write the loaded scene back out")
+    p.add_argument("--preview-every", type=int, default=0, help="write PNG every N samples")
+    p.add_argument("--spp-per-pass", type=int, default=1,
+                   help="samples per progressive pass (1 = reference cadence)")
+    p.add_argument("--max-bounces", type=int, default=None)
+    p.add_argument("--volume-step", type=float, default=None)
+    return p
+
+
+def default_scene() -> Scene:
+    """The built-in Cornell box (``src/main.rs:108-214``)."""
+    from bendy_tpu.models.cornell import build_cornell
+
+    return build_cornell()
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if os.path.exists(args.scene):
+        scene = load_scene(args.scene)
+        print(f"loaded scene from {args.scene}", file=sys.stderr)
+    else:
+        scene = default_scene()
+        print("scene file missing; using built-in cornell box", file=sys.stderr)
+
+    if args.save_scene:
+        save_scene(args.save_scene, scene)
+        print(f"saved scene to {args.save_scene}", file=sys.stderr)
+
+    camera = scene.find_by_tag("camera")
+    if camera is None:
+        print("error: scene has no object tagged 'camera'", file=sys.stderr)
+        return 2
+
+    # aspect-ratio sync through the update queue, like the app
+    # (``src/main.rs:216-223``)
+    queue = UpdateQueue()
+    aspect = args.width / args.height
+
+    def set_aspect(obj, _q, _d):
+        obj.as_camera().aspect_ratio = aspect
+
+    queue.push(Update.object(camera, set_aspect))
+    queue.commit(scene)
+
+    output = Output(args.output)
+    renderer = Renderer(scene, Config(output=output))
+    subsample = Subsample(0 if args.subsample in (0, 1) else args.subsample)
+
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        film, seed = Film.load_checkpoint(args.checkpoint)
+        if (film.width, film.height) != (args.width, args.height):
+            print("checkpoint resolution mismatch; starting fresh", file=sys.stderr)
+            film = Film(args.width, args.height, output.color_space())
+        else:
+            print(
+                f"resumed checkpoint at {film.samples} samples ({film.passes} passes)",
+                file=sys.stderr,
+            )
+    else:
+        film = Film(args.width, args.height, output.color_space())
+
+    max_samples = args.samples * max(subsample.n, 1) ** 2
+    rc = RenderConfig(
+        samples=args.spp_per_pass,
+        subsample=subsample,
+        max_bounces=args.max_bounces,
+        volume_step=args.volume_step,
+    )
+
+    start = time.time()
+    sum_delta = 0.0
+    while film.samples < max_samples:
+        t0 = time.time()
+        renderer.render(camera, rc, film, seed=args.seed)
+        delta = time.time() - t0
+        sum_delta += delta
+        # telemetry cadence mirrors the title bar (``src/main.rs:352-388``)
+        print(
+            f"samples: {film.samples}/{max_samples}; delta t: {delta*1000:.0f}ms; "
+            f"avg t per sample: {sum_delta/max(film.samples,1)*1000:.1f}ms",
+            file=sys.stderr,
+        )
+        if args.preview_every and film.passes % args.preview_every == 0:
+            _write_png(args.screenshot, film)
+        if args.checkpoint:
+            film.save_checkpoint(args.checkpoint, seed=args.seed)
+
+    total = time.time() - start
+    print(f"total t: {total:.2f}s; rays traced: {renderer.rays_traced:.0f}; "
+          f"{renderer.rays_traced/max(total,1e-9)/1e6:.1f} Mrays/s", file=sys.stderr)
+    _write_png(args.screenshot, film)
+    return 0
+
+
+def _write_png(path: str, film: Film) -> None:
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    film.save_png(path)
+    print(f"saved screenshot to {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
