@@ -1,0 +1,116 @@
+"""Null-geodesic ray propagation: gravitational lensing around point masses.
+
+The reference *advertises* gravitational lensing ("a pathtracer that can
+simulate gravitational lensing", ``README.md:1-2``) but its snapshot
+contains only straight rays (``src/tracer/ray.rs:84-117``, SURVEY.md §0).
+This module supplies the missing capability, designed TPU-first.
+
+Physics: photons around a Schwarzschild mass follow the orbit equation
+d²u/dφ² = -u + (3/2)·rs·u² (u = 1/r, rs = Schwarzschild radius). In
+3-vector form this is the well-known effective acceleration
+
+    a(x, d) = -(3/2) · rs · h² · x / |x|⁵,   h = |x × d|
+
+(the exact Schwarzschild null geodesic in these coordinates; see e.g.
+the classic "starless" formulation). Multiple masses superpose their
+accelerations — exact per mass, approximate in combination (no exact
+multi-body metric exists in closed form).
+
+Integration: classical RK4 on (x, d) with an adaptive step
+ds = clip(eta·r_min, min_step, max_step), statically unrolled over the
+compiled mass list — pure [B] elementwise work that fuses into the
+wavefront loop. Termination:
+- capture: r < rs for any mass -> the lane is swallowed (black),
+- far field: r > far·rs for all masses and receding -> space is flat,
+  the wavefront switches the lane to an ordinary straight full-clip trace.
+
+Scene binding: any object tagged ``mass:<rs>`` contributes a mass at its
+world translation (compiler: ``scene/compiler.py``). Scenes without
+masses compile the ordinary straight-ray integrator — the flat limit is
+exact by construction, and rs -> 0 gives zero deflection analytically.
+
+Validation (tests/test_geodesic.py): weak-field deflection angle
+alpha ~= 2·rs/b, photon-sphere capture threshold b_crit = (3√3/2)·rs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from bendy_tpu.scene.compiler import SceneArrays
+from bendy_tpu.utils.v3 import V3
+
+
+class GeoParams(NamedTuple):
+    """Static geodesic integration knobs (part of TraceConfig)."""
+
+    eta: float = 0.2  # step = eta · distance-to-nearest-mass
+    min_step: float = 0.02  # in scene units
+    max_step: float = 6.0
+    far: float = 150.0  # flat-space radius (in units of rs) per mass:
+    #                     residual deflection past closest approach ~ rs/r
+    max_steps: int = 512  # total RK4 steps per lane before capture
+
+
+def mass_row(scn: SceneArrays, k: int) -> tuple[V3, jnp.ndarray]:
+    c = scn.mass_center
+    return V3(c[k, 0], c[k, 1], c[k, 2]), scn.mass_rs[k]
+
+
+def acceleration(scn: SceneArrays, x: V3, d: V3) -> V3:
+    """Sum of per-mass geodesic accelerations (static unroll)."""
+    B = x.x.shape[0]
+    a = V3.zeros(B)
+    for k in range(scn.n_masses):
+        center, rs = mass_row(scn, k)
+        rel = x - center
+        r2 = rel.length_squared()
+        h = rel.cross(d)
+        h2 = h.length_squared()
+        inv_r = jnp.where(r2 > 0.0, 1.0 / jnp.sqrt(jnp.maximum(r2, 1e-20)), 0.0)
+        inv_r5 = inv_r * inv_r * inv_r * inv_r * inv_r
+        a = a + rel * (-1.5 * rs * h2 * inv_r5)
+    return a
+
+
+def step_size(scn: SceneArrays, x: V3, p: GeoParams) -> jnp.ndarray:
+    """Adaptive ds: a fraction of the distance to the nearest mass."""
+    B = x.x.shape[0]
+    r2_min = jnp.full(B, jnp.inf, x.x.dtype)
+    for k in range(scn.n_masses):
+        center, _ = mass_row(scn, k)
+        r2_min = jnp.minimum(r2_min, (x - center).length_squared())
+    return jnp.clip(p.eta * jnp.sqrt(r2_min), p.min_step, p.max_step)
+
+
+def rk4_step(scn: SceneArrays, x: V3, d: V3, ds: jnp.ndarray) -> tuple[V3, V3]:
+    """One RK4 step of the coupled system dx/dλ = d, dd/dλ = a(x, d)."""
+    half = ds * 0.5
+    k1x, k1d = d, acceleration(scn, x, d)
+    k2x = d + k1d * half
+    k2d = acceleration(scn, x + k1x * half, k2x)
+    k3x = d + k2d * half
+    k3d = acceleration(scn, x + k2x * half, k3x)
+    k4x = d + k3d * ds
+    k4d = acceleration(scn, x + k3x * ds, k4x)
+    sixth = ds * (1.0 / 6.0)
+    x_new = x + (k1x + (k2x + k3x) * 2.0 + k4x) * sixth
+    d_new = d + (k1d + (k2d + k3d) * 2.0 + k4d) * sixth
+    return x_new, d_new
+
+
+def capture_and_far(scn: SceneArrays, x: V3, d: V3, p: GeoParams):
+    """(captured, far_field): horizon capture and flat-space tests."""
+    B = x.x.shape[0]
+    captured = jnp.zeros(B, bool)
+    far = jnp.ones(B, bool)
+    for k in range(scn.n_masses):
+        center, rs = mass_row(scn, k)
+        rel = x - center
+        r2 = rel.length_squared()
+        captured = captured | (r2 < rs * rs)
+        receding = rel.dot(d) > 0.0
+        far = far & ((r2 > (p.far * rs) ** 2) & receding)
+    return captured, far

@@ -1,0 +1,185 @@
+"""ctypes binding for the native C++ CPU oracle (native/oracle.cpp).
+
+Packs the compiled SoA scene into the flat strided layout the C side
+expects and exposes :func:`oracle_render`. The library is built on demand
+with g++ (single translation unit, ~1 s).
+
+This is the framework's ground-truth renderer for MSE gates: an
+independent multithreaded C++ implementation of the reference algorithm,
+~100x faster than the numpy oracle in tests/oracle.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from bendy_tpu.scene.compiler import SceneArrays
+
+_SPH_STRIDE = 18
+_RCT_STRIDE = 24
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_LIB_PATH = os.path.join(_REPO, "native", "liboracle.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_REPO, "native", "oracle.cpp")
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-pthread",
+             "-o", _LIB_PATH, src],
+            check=True,
+        )
+    _lib = ctypes.CDLL(_LIB_PATH)
+    _lib.oracle_render.restype = None
+    return _lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def pack_scene(scn: SceneArrays):
+    """SceneArrays -> (spheres [Ns,18] f32, rects [Nr,24] f32, light arrays).
+
+    Fetches the whole pytree in ONE ``jax.device_get`` — per-leaf
+    ``np.asarray`` costs a full round-trip each on remote (axon) devices
+    (measured: 371 s for ~25 KB-sized leaves vs milliseconds batched).
+    """
+    import jax
+
+    scn = jax.device_get(scn)
+    ns = scn.n_spheres
+    nr = scn.n_rects
+    sph = np.zeros((max(ns, 1), _SPH_STRIDE), np.float32)
+    if ns:
+        sph[:ns, 0:3] = np.asarray(scn.sph_center)
+        sph[:ns, 3] = np.asarray(scn.sph_radius)
+        sph[:ns, 4] = np.asarray(scn.sph_mtype)
+        sph[:ns, 5:8] = np.asarray(scn.sph_albedo)
+        sph[:ns, 8] = np.asarray(scn.sph_rough)
+        sph[:ns, 9] = np.asarray(scn.sph_ior)
+        sph[:ns, 10:13] = np.asarray(scn.sph_emitted)
+        sph[:ns, 13] = np.asarray(scn.sph_vol_grid)
+        sph[:ns, 14:17] = np.asarray(scn.sph_vol_size)
+    rct = np.zeros((max(nr, 1), _RCT_STRIDE), np.float32)
+    if nr:
+        rct[:nr, 0:3] = np.asarray(scn.rct_center)
+        rct[:nr, 3:6] = np.asarray(scn.rct_x)
+        rct[:nr, 6:9] = np.asarray(scn.rct_y)
+        rct[:nr, 9:12] = np.asarray(scn.rct_z)
+        rct[:nr, 12] = np.asarray(scn.rct_hw)
+        rct[:nr, 13] = np.asarray(scn.rct_hh)
+        rct[:nr, 14] = np.asarray(scn.rct_mtype)
+        rct[:nr, 15:18] = np.asarray(scn.rct_albedo)
+        rct[:nr, 18] = np.asarray(scn.rct_rough)
+        rct[:nr, 19] = np.asarray(scn.rct_ior)
+        rct[:nr, 20:23] = np.asarray(scn.rct_emitted)
+
+    kinds = np.asarray(scn.light_kind, np.int32)
+    srows = np.asarray(scn.light_sph_row, np.int32)
+    rrows = np.asarray(scn.light_rct_rows, np.int32)
+    face_rows, face_counts = [], []
+    for li in range(scn.n_lights):
+        rows = [int(r) for r in rrows[li] if r >= 0]
+        face_rows.extend(rows)
+        face_counts.append(len(rows))
+    return (
+        sph, rct, kinds, srows,
+        np.asarray(face_rows or [0], np.int32),
+        np.asarray(face_counts, np.int32),
+    )
+
+
+def oracle_render(
+    scn: SceneArrays,
+    cam_rot: np.ndarray,
+    cam_trans: np.ndarray,
+    sensor: float,
+    focal: float,
+    aspect: float,
+    fstop: float,
+    focus: float | None,
+    width: int,
+    height: int,
+    spp: int,
+    subsample: int = 1,
+    seed: int = 0,
+    max_bounces: int = 8,
+    max_volume_bounces: int = 32,
+    clip_min: float = 0.01,
+    clip_max: float = 1000.0,
+    volume_step: float = 0.1,
+) -> np.ndarray:
+    """Render the linear mean image [H,W,3] with the native oracle."""
+    lib = _load()
+    sph, rct, kinds, srows, frows, fcounts = pack_scene(scn)
+    grids = np.ascontiguousarray(np.asarray(scn.vol_grid), np.float32)
+    g, gd, gh, gw = grids.shape
+    root_albedo = np.asarray(scn.root_albedo, np.float32)
+    root_emitted = np.asarray(scn.root_emitted, np.float32)
+    out = np.zeros((height, width, 3), np.float32)
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+
+    def F(a):
+        return np.ascontiguousarray(a, np.float32).ctypes.data_as(fp)
+
+    def I(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(ip)
+
+    rotm = np.ascontiguousarray(np.asarray(cam_rot, np.float32))
+    lib.oracle_render(
+        F(sph), ctypes.c_int(scn.n_spheres),
+        F(rct), ctypes.c_int(scn.n_rects),
+        I(kinds), I(srows), I(frows), I(fcounts), ctypes.c_int(scn.n_lights),
+        F(grids), ctypes.c_int(g), ctypes.c_int(gd), ctypes.c_int(gh), ctypes.c_int(gw),
+        ctypes.c_int(int(scn.root_mtype)), F(root_albedo), F(root_emitted),
+        ctypes.c_int(max_bounces), ctypes.c_int(max_volume_bounces),
+        ctypes.c_float(clip_min), ctypes.c_float(clip_max), ctypes.c_float(volume_step),
+        ctypes.c_float(sensor), ctypes.c_float(focal), ctypes.c_float(aspect),
+        ctypes.c_float(fstop), ctypes.c_float(-1.0 if focus is None else focus),
+        F(rotm), F(np.asarray(cam_trans, np.float32)),
+        ctypes.c_int(width), ctypes.c_int(height), ctypes.c_int(spp),
+        ctypes.c_int(subsample), ctypes.c_uint64(seed),
+        out.ctypes.data_as(fp),
+    )
+    return out
+
+
+def oracle_render_scene(scene, width, height, spp, subsample=1, seed=0, **cfg) -> np.ndarray:
+    """Convenience: host Scene -> native oracle image."""
+    from bendy_tpu.scene.compiler import compile_scene, find_camera
+
+    scn = compile_scene(scene)
+    cam, world = find_camera(scene)
+    return oracle_render(
+        scn,
+        world[:, :3],
+        world[:, 3],
+        cam.sensor_size,
+        cam.focal_length,
+        cam.aspect_ratio,
+        cam.fstop,
+        cam.focus,
+        width,
+        height,
+        spp,
+        subsample=subsample,
+        seed=seed,
+        **cfg,
+    )

@@ -48,34 +48,29 @@ def rotate(m: jnp.ndarray, v: V3) -> V3:
     )
 
 
-def camera_rays(
+def camera_ray(
     cam: CameraParams,
     width: int,
     height: int,
-    spp: int,
     subsample: int,
     key: tuple,
-    lane: jnp.ndarray,
+    sample_id: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    si: jnp.ndarray,
+    sj: jnp.ndarray,
 ) -> tuple[V3, V3]:
-    """Generate one primary ray per lane.
+    """Generate one primary ray per lane from explicit coordinates.
 
-    ``lane`` carries *global* u32 lane ids laid out pixel-major:
-    lane = ((y·W + x)·spp + s)·n² + (j·n + i). Per-pixel reduction is then
-    a reshape, never a scatter, and row-chunked passes stay bit-identical
-    to unchunked ones (ids, hence RNG streams, are global).
+    ``sample_id`` is the *global* (pixel, sample, subpixel) id — it keys
+    the jitter/defocus RNG streams, so any chunking/sharding of lanes
+    produces identical rays. (px, py) are pixel coords, (si, sj) the
+    subpixel cell.
     """
     n = max(subsample, 1)
-    nn = jnp.uint32(n * n)
-    sub = lane % nn
-    pix = lane // (jnp.uint32(spp) * nn)
-    px = (pix % jnp.uint32(width)).astype(jnp.float32)
-    py = (pix // jnp.uint32(width)).astype(jnp.float32)
-    si = (sub % jnp.uint32(n)).astype(jnp.float32)
-    sj = (sub // jnp.uint32(n)).astype(jnp.float32)
-
     pw = 2.0 / width
     ph = 2.0 / height
-    uj = lane_uniforms(key, lane, CAMERA_TAG, 4)
+    uj = lane_uniforms(key, sample_id, CAMERA_TAG, 4)
 
     # jittered NDC (``tracer/mod.rs:255-283``); subpixel offset is i/n of a pixel
     u = px * pw - 1.0 + (si / n) * pw + (uj[0] - 0.5) * (pw / n)

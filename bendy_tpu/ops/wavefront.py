@@ -1,4 +1,4 @@
-"""Wavefront path-tracing integrator.
+"""Wavefront path-tracing integrator with ray regeneration.
 
 The reference integrates by *recursion*: ``ChunkState::sample`` calls
 itself per bounce (``src/tracer/mod.rs:322-342``) and interleaves with a
@@ -6,29 +6,42 @@ second recursion for volume marching (``sample_volumetric``,
 ``tracer/mod.rs:344-373``) — up to 8 surface levels × 32 volume levels of
 call stack per ray.
 
-On TPU, recursion and divergent control flow are poison. This module
-flattens both recursions into ONE ``lax.while_loop`` over a megabatch of
-ray lanes. Each lane carries a small state machine:
+On TPU this flattens into ONE ``lax.while_loop`` over a megabatch of
+lanes. Each lane owns one (pixel, subpixel) and traces its ``spp``
+samples *sequentially*: the moment a path terminates, the lane
+immediately regenerates the camera ray for its next sample. Regeneration
+is the utilization lever: a fixed wavefront runs until its worst
+straggler (a glass caustic chain, or a photon-sphere orbiter in geodesic
+mode — 500+ steps) while the average path needs only a handful, wasting
+>90% of the VPU; with per-lane sample queues the loop length concentrates
+at spp × E[path length] and utilization stays near 1.
 
-    mode 0 = dead · 1 = surface trace (clip [clip_min, clip_max]) ·
+Per-lane state machine:
+
+    mode 0 = path terminated (regenerate or finish) ·
+    1 = surface trace (clip [clip_min, clip_max]) ·
     2 = volume march (clip [0, volume_step], ``tracer/mod.rs:382-387``)
 
-and the estimator identity that makes the flattening exact:
+Estimator identity that makes the flattening exact
+(``tracer/mod.rs:471-482``):
 
     recursive:  color = emitted + w · sample(scatter, bounce+1)
     iterative:  radiance += throughput · emitted;  throughput *= w
 
-with w = albedo · bsdf_pdf(scatter) / shader_pdf (``tracer/mod.rs:471-482``).
+Geodesic mode (scene has ``mass:<rs>`` objects): surface propagation
+becomes stepped — an adaptive RK4 step bends the ray, intersection runs
+along the straight chord, far receding lanes switch to an exact straight
+trace, horizon-crossing lanes are swallowed (see bendy_tpu.geodesic).
 
-Everything is structure-of-arrays: state is [B] scalars and V3-of-[B]
-triples, the per-primitive sweep is statically unrolled, RNG is raw
-counter-mode threefry — the whole body fuses into a handful of VPU
-kernels with zero gathers (except density-grid reads in volume scenes).
+Everything is structure-of-arrays ([B] scalars, V3-of-[B]); the primitive
+sweep is statically unrolled; RNG is counter-mode threefry keyed by the
+global (pixel, sample) id — deterministic, chunking- and mesh-invariant.
 
-AOV semantics match the reference's ColorData flow: the FIRST claiming
-event (surface shade, env miss, or volume *scatter* — a volume
-pass-through does not claim, ``volume.rs:54-59``) fixes albedo/normal/depth
-for the lane; recursion below it only modifies color.
+AOV semantics match the reference's ColorData flow: per sample, the FIRST
+claiming event (surface shade, env miss, or volume *scatter* — a volume
+pass-through does not claim, ``volume.rs:54-59``) fixes albedo/normal/
+depth; depth is normalized and clamped per sample before accumulation
+(``tracer/mod.rs:306-308``).
 """
 
 from __future__ import annotations
@@ -39,6 +52,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from bendy_tpu.geodesic import GeoParams, capture_and_far, rk4_step, step_size
+from bendy_tpu.ops.camera import CameraParams, camera_ray
 from bendy_tpu.ops.intersect import (
     FACE_BACK,
     FACE_FRONT,
@@ -50,6 +65,8 @@ from bendy_tpu.ops.volume import volume_shade
 from bendy_tpu.scene.compiler import MAT_EMISSIVE, MAT_FLAT, SceneArrays
 from bendy_tpu.utils.rng import lane_uniforms
 from bendy_tpu.utils.v3 import V3
+
+_DEFAULT_GEO = GeoParams()
 
 MODE_DEAD = 0
 MODE_SURFACE = 1
@@ -67,24 +84,34 @@ class TraceConfig(NamedTuple):
     clip_max: float = 1000.0
     volume_step: float = 0.1
     has_volumes: bool = False  # static: volume branch compiled only when needed
+    geodesic: bool = False  # static: curved-ray propagation (scene has masses)
+    geo: "GeoParams" = None  # type: ignore[assignment]
 
-    @property
-    def max_iters(self) -> int:
+    def max_iters(self, spp: int) -> int:
+        """Loop-length safety cap: per-path worst case × samples."""
+        per_path = self.max_bounces + 2
         if self.has_volumes:
-            return (self.max_bounces + 2) * (self.max_volume_bounces + 2)
-        return self.max_bounces + 2
+            per_path = (self.max_bounces + 2) * (self.max_volume_bounces + 2)
+        if self.geodesic:
+            per_path += (self.geo or _DEFAULT_GEO).max_steps
+        return per_path * spp
 
 
-class TraceResult(NamedTuple):
+class TraceSums(NamedTuple):
+    """Per-lane accumulations over all spp samples."""
+
     radiance: V3
     aov_albedo: V3
     aov_normal: V3
-    aov_depth: jnp.ndarray  # [B] raw t (inf for background/emissive)
+    aov_depth: jnp.ndarray  # [B] normalized+clamped depth sum
     rays: jnp.ndarray  # [] f32: total alive-lane iterations (traced rays)
 
 
 class _State(NamedTuple):
     it: jnp.ndarray
+    sample: jnp.ndarray  # [B] current sample index (starts at -1)
+    path_step: jnp.ndarray  # [B] iteration count within the current path
+    path_open: jnp.ndarray  # [B] current path not yet folded into the accumulators
     org: V3
     dir: V3
     thr: V3
@@ -97,6 +124,13 @@ class _State(NamedTuple):
     aov_alb: V3
     aov_nrm: V3
     aov_dep: jnp.ndarray
+    geo_steps: jnp.ndarray
+    fresh: jnp.ndarray  # first segment after a bounce: clip_min applies
+    # per-lane accumulators over completed samples
+    acc_rad: V3
+    acc_alb: V3
+    acc_nrm: V3
+    acc_dep: jnp.ndarray
     rays: jnp.ndarray
 
 
@@ -121,84 +155,190 @@ def _env_terms(scn: SceneArrays, dir: V3, clip_max: float):
     return color, aov_albedo, aov_normal, aov_depth
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "subsample", "cfg", "spp_total"),
+)
 def trace(
     scn: SceneArrays,
-    org: V3,
-    direction: V3,
+    cam: CameraParams,
     key: tuple,
-    lane: jnp.ndarray,
+    pix: jnp.ndarray,  # [B] u32 global pixel index (y*W + x)
+    sub: jnp.ndarray,  # [B] u32 subpixel index (j*n + i)
+    width: int,
+    height: int,
+    spp: int,
+    subsample: int,
     cfg: TraceConfig,
-) -> TraceResult:
-    """Trace a megabatch of rays to completion. All lanes start in surface mode."""
-    B = org.x.shape[0]
+    spp_total: int | None = None,
+    sample0=0,
+) -> TraceSums:
+    """Trace spp samples for every (pixel, subpixel) lane; return sums.
+
+    ``spp_total``/``sample0`` let a sample-sharded mesh assign each device
+    the slice [sample0, sample0+spp) of a global spp_total while keeping
+    globally unique RNG stream ids.
+    """
+    B = pix.shape[0]
+    n = max(subsample, 1)
+    nn = n * n
+    geo = cfg.geo or _DEFAULT_GEO
+    if spp_total is None:
+        spp_total = spp
+    sample0 = jnp.asarray(sample0, jnp.uint32)
+
+    # static per-lane coordinates (loop-invariant)
+    px = (pix % jnp.uint32(width)).astype(jnp.float32)
+    py = (pix // jnp.uint32(width)).astype(jnp.float32)
+    si = (sub % jnp.uint32(n)).astype(jnp.float32)
+    sj = (sub // jnp.uint32(n)).astype(jnp.float32)
+
+    def sample_id(sample):
+        """Global RNG stream id for (pixel, sample, subpixel)."""
+        s_glob = sample0 + sample.astype(jnp.uint32)
+        return (pix * jnp.uint32(spp_total) + s_glob) * jnp.uint32(nn) + sub
 
     state = _State(
         it=jnp.uint32(0),
-        org=org,
-        dir=direction,
-        thr=V3.zeros(B) + 1.0,
+        sample=jnp.full(B, -1, jnp.int32),
+        path_step=jnp.zeros(B, jnp.int32),
+        path_open=jnp.zeros(B, bool),
+        org=V3.zeros(B),
+        dir=V3.zeros(B) + V3.of(0.0, 0.0, -1.0),
+        thr=V3.zeros(B),
         rad=V3.zeros(B),
         bounce=jnp.zeros(B, jnp.int32),
         vbounce=jnp.zeros(B, jnp.int32),
-        mode=jnp.full(B, MODE_SURFACE, jnp.int32),
+        mode=jnp.full(B, MODE_DEAD, jnp.int32),
         last_sph=jnp.full(B, -1, jnp.int32),
-        aov_open=jnp.ones(B, bool),
+        aov_open=jnp.zeros(B, bool),
         aov_alb=V3.zeros(B),
         aov_nrm=V3.zeros(B),
-        aov_dep=jnp.full(B, jnp.inf, org.x.dtype),
+        aov_dep=jnp.full(B, jnp.inf),
+        geo_steps=jnp.zeros(B, jnp.int32),
+        fresh=jnp.ones(B, bool),
+        acc_rad=V3.zeros(B),
+        acc_alb=V3.zeros(B),
+        acc_nrm=V3.zeros(B),
+        acc_dep=jnp.zeros(B),
         rays=jnp.float32(0.0),
     )
 
     def cond(s: _State):
-        return (s.it < cfg.max_iters) & jnp.any(s.mode != MODE_DEAD)
+        pending = (s.mode != MODE_DEAD) | (s.sample + 1 < spp)
+        return (s.it < cfg.max_iters(spp)) & jnp.any(pending)
 
     def body(s: _State) -> _State:
-        # --- bounce-cap kills at loop entry (``tracer/mod.rs:323-325,352-354``)
-        over_b = (s.mode == MODE_SURFACE) & (s.bounce > cfg.max_bounces)
-        over_v = (s.mode == MODE_MARCH) & (s.vbounce > cfg.max_volume_bounces)
-        mode = jnp.where(over_b | over_v, MODE_DEAD, s.mode)
+        # === finalize dead paths, regenerate camera rays ===================
+        dead = s.mode == MODE_DEAD
+        # normalized+clamped per-sample depth (``tracer/mod.rs:306-308``)
+        dep_n = jnp.clip(
+            (s.aov_dep - cfg.clip_min) / (cfg.clip_max - cfg.clip_min), 0.0, 1.0
+        )
+        fin = dead & s.path_open
+        acc_rad = s.acc_rad + V3.where(fin, s.rad, V3.zeros(B))
+        acc_alb = s.acc_alb + V3.where(fin, s.aov_alb, V3.zeros(B))
+        acc_nrm = s.acc_nrm + V3.where(fin, s.aov_nrm, V3.zeros(B))
+        acc_dep = s.acc_dep + jnp.where(fin, dep_n, 0.0)
+
+        regen = dead & (s.sample + 1 < spp)
+        path_open = jnp.where(regen, True, s.path_open & ~fin)
+        path_step = jnp.where(regen, 0, s.path_step)
+        sample = jnp.where(regen, s.sample + 1, s.sample)
+        sid = sample_id(jnp.maximum(sample, 0))
+        cam_org, cam_dir = camera_ray(
+            cam, width, height, n, key, sid, px, py, si, sj
+        )
+        org = V3.where(regen, cam_org, s.org)
+        dirv = V3.where(regen, cam_dir, s.dir)
+        thr = V3.where(regen, V3.zeros(B) + 1.0, s.thr)
+        rad = V3.where(regen, V3.zeros(B), s.rad)
+        bounce = jnp.where(regen, 0, s.bounce)
+        vbounce = jnp.where(regen, 0, s.vbounce)
+        mode = jnp.where(regen, MODE_SURFACE, s.mode)
+        aov_open = jnp.where(regen, True, s.aov_open)
+        aov_alb = V3.where(regen, V3.zeros(B), s.aov_alb)
+        aov_nrm = V3.where(regen, V3.zeros(B), s.aov_nrm)
+        aov_dep = jnp.where(regen, jnp.inf, s.aov_dep)
+        geo_steps = jnp.where(regen, 0, s.geo_steps)
+        fresh = jnp.where(regen, True, s.fresh)
+
+        # === bounce-cap kills at path entry (``tracer/mod.rs:323-325,352-354``)
+        over_b = (mode == MODE_SURFACE) & (bounce > cfg.max_bounces)
+        over_v = (mode == MODE_MARCH) & (vbounce > cfg.max_volume_bounces)
+        mode = jnp.where(over_b | over_v, MODE_DEAD, mode)
+
+        if cfg.geodesic:
+            # horizon capture / step-budget exhaustion swallow the path
+            surf_mode = mode == MODE_SURFACE
+            captured, far_field = capture_and_far(scn, org, dirv, geo)
+            mode = jnp.where(
+                surf_mode & (captured | (geo_steps > geo.max_steps)), MODE_DEAD, mode
+            )
+
         alive = mode != MODE_DEAD
         march = mode == MODE_MARCH
 
-        # --- one intersection sweep for every lane -----------------------
-        cmin = jnp.where(march, 0.0, cfg.clip_min).astype(s.org.x.dtype)
-        cmax = jnp.where(march, cfg.volume_step, cfg.clip_max).astype(s.org.x.dtype)
+        # === propagation segment + one intersection sweep ==================
+        if cfg.geodesic:
+            ds = step_size(scn, org, geo)
+            x_next, d_next = rk4_step(scn, org, dirv, ds)
+            chord = x_next - org
+            chord_len = chord.length()
+            seg_dir = chord * (1.0 / jnp.maximum(chord_len, 1e-20))
+            near = (mode == MODE_SURFACE) & ~far_field
+            trace_dir = V3.where(near, seg_dir, dirv)
+            cmin = jnp.where(march, 0.0, jnp.where(fresh, cfg.clip_min, 0.0))
+            cmax = jnp.where(march, cfg.volume_step, jnp.where(near, chord_len, cfg.clip_max))
+        else:
+            trace_dir = dirv
+            cmin = jnp.where(march, 0.0, cfg.clip_min) * jnp.ones(B)
+            cmax = jnp.where(march, cfg.volume_step, cfg.clip_max) * jnp.ones(B)
+
         hit = nearest_hit(
-            s.org, s.dir, cmin, cmax, scn,
+            org, trace_dir, cmin, cmax, scn,
             march=march if cfg.has_volumes else None,
             last_sphere=s.last_sph if cfg.has_volumes else None,
         )
 
         miss = alive & ~hit.valid
+        if cfg.geodesic:
+            geo_cont = miss & near  # no hit inside the chord: keep bending
+            miss = miss & ~near  # environment only in flat space
         surf = alive & hit.valid & ((hit.face == FACE_FRONT) | (hit.face == FACE_BACK))
 
-        u = lane_uniforms(key, lane, s.it, N_UNIFORMS)
-        sh = shade_surface(s.dir, hit, scn, u, cfg.clip_min, cfg.clip_max)
-        env_color, env_alb, env_nrm, env_dep = _env_terms(scn, s.dir, cfg.clip_max)
+        u = lane_uniforms(key, sid, path_step, N_UNIFORMS)
+        sh = shade_surface(trace_dir, hit, scn, u, cfg.clip_min, cfg.clip_max)
+        env_color, env_alb, env_nrm, env_dep = _env_terms(scn, trace_dir, cfg.clip_max)
 
-        # --- radiance & throughput ---------------------------------------
-        rad = s.rad + V3.where(miss, s.thr * env_color, V3.zeros(B))
-        rad = rad + V3.where(surf, s.thr * sh.emitted, V3.zeros(B))
-        thr = V3.where(surf & sh.scatter, s.thr * sh.weight, s.thr)
+        # === radiance & throughput =========================================
+        rad = rad + V3.where(miss, thr * env_color, V3.zeros(B))
+        rad = rad + V3.where(surf, thr * sh.emitted, V3.zeros(B))
+        thr = V3.where(surf & sh.scatter, thr * sh.weight, thr)
 
-        # --- continuation ray & mode transitions -------------------------
-        new_org = V3.where(surf, hit.position, s.org)
-        new_dir = V3.where(surf, sh.direction, s.dir)
+        # === continuation ray & mode transitions ===========================
+        new_org = V3.where(surf, hit.position, org)
+        new_dir = V3.where(surf, sh.direction, dirv)
         surf_cont = surf & sh.scatter
         new_mode = jnp.where(alive & surf_cont, MODE_SURFACE, MODE_DEAD)
-        bounce = jnp.where(surf_cont, s.bounce + 1, s.bounce)
-        vbounce = s.vbounce
+        bounce = jnp.where(surf_cont, bounce + 1, bounce)
         last_sph = s.last_sph
+        fresh = jnp.where(surf, True, fresh)
+        if cfg.geodesic:
+            new_org = V3.where(geo_cont, x_next, new_org)
+            new_dir = V3.where(geo_cont, d_next, new_dir)
+            new_mode = jnp.where(geo_cont, MODE_SURFACE, new_mode)
+            geo_steps = jnp.where(near, geo_steps + 1, geo_steps)
+            fresh = jnp.where(geo_cont, False, fresh)
 
         claim_alb = V3.where(surf, sh.aov_albedo, env_alb)
         claim_nrm = V3.where(surf, sh.aov_normal, env_nrm)
         claim_dep = jnp.where(surf, sh.aov_depth, env_dep)
-        claim = (surf | miss) & s.aov_open
+        claim = (surf | miss) & aov_open
 
         if cfg.has_volumes:
             vol = alive & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
-            vs = volume_shade(s.dir, hit, scn, u, cfg.volume_step)
+            vs = volume_shade(trace_dir, hit, scn, u, cfg.volume_step)
             thr = V3.where(vol & vs.scattered, thr * vs.weight, thr)
             new_org = V3.where(vol, vs.origin, new_org)
             new_dir = V3.where(vol, vs.direction, new_dir)
@@ -209,18 +349,22 @@ def trace(
             vol_march = vol & (hit.face != FACE_VOLUME_BACK)
             new_mode = jnp.where(vol_exit, MODE_SURFACE, new_mode)
             new_mode = jnp.where(vol_march, MODE_MARCH, new_mode)
-            bounce = jnp.where(vol_exit, s.bounce + 1, bounce)
-            vbounce = jnp.where(vol_march, jnp.where(march, s.vbounce + 1, 1), s.vbounce)
-            last_sph = jnp.where(vol_march, hit.sphere_row, s.last_sph)
+            bounce = jnp.where(vol_exit, bounce + 1, bounce)
+            vbounce = jnp.where(vol_march, jnp.where(march, vbounce + 1, 1), vbounce)
+            last_sph = jnp.where(vol_march, hit.sphere_row, last_sph)
+            fresh = jnp.where(vol, True, fresh)
 
             vol_claim = vol & vs.scattered
             claim_alb = V3.where(vol_claim, V3.zeros(B) + 0.8, claim_alb)
             claim_nrm = V3.where(vol_claim, hit.normal, claim_nrm)
             claim_dep = jnp.where(vol_claim, hit.t, claim_dep)
-            claim = claim | (vol_claim & s.aov_open)
+            claim = claim | (vol_claim & aov_open)
 
         return _State(
             it=s.it + 1,
+            sample=sample,
+            path_step=path_step + 1,
+            path_open=path_open,
             org=new_org,
             dir=new_dir,
             thr=thr,
@@ -229,18 +373,31 @@ def trace(
             vbounce=vbounce,
             mode=new_mode,
             last_sph=last_sph,
-            aov_open=s.aov_open & ~claim,
-            aov_alb=V3.where(claim, claim_alb, s.aov_alb),
-            aov_nrm=V3.where(claim, claim_nrm, s.aov_nrm),
-            aov_dep=jnp.where(claim, claim_dep, s.aov_dep),
+            aov_open=aov_open & ~claim,
+            aov_alb=V3.where(claim, claim_alb, aov_alb),
+            aov_nrm=V3.where(claim, claim_nrm, aov_nrm),
+            aov_dep=jnp.where(claim, claim_dep, aov_dep),
+            geo_steps=geo_steps,
+            fresh=fresh,
+            acc_rad=acc_rad,
+            acc_alb=acc_alb,
+            acc_nrm=acc_nrm,
+            acc_dep=acc_dep,
             rays=s.rays + jnp.sum(alive).astype(jnp.float32),
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return TraceResult(
-        radiance=final.rad,
-        aov_albedo=final.aov_alb,
-        aov_normal=final.aov_nrm,
-        aov_depth=final.aov_dep,
+
+    # fold in each lane's last completed path (not yet accumulated in-loop)
+    dep_n = jnp.clip(
+        (final.aov_dep - cfg.clip_min) / (cfg.clip_max - cfg.clip_min), 0.0, 1.0
+    )
+    fin = (final.mode == MODE_DEAD) & final.path_open
+    B_ = pix.shape[0]
+    return TraceSums(
+        radiance=final.acc_rad + V3.where(fin, final.rad, V3.zeros(B_)),
+        aov_albedo=final.acc_alb + V3.where(fin, final.aov_alb, V3.zeros(B_)),
+        aov_normal=final.acc_nrm + V3.where(fin, final.aov_nrm, V3.zeros(B_)),
+        aov_depth=final.acc_dep + jnp.where(fin, dep_n, 0.0),
         rays=final.rays,
     )

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from bendy_tpu.ops.camera import CameraParams, camera_rays
+from bendy_tpu.ops.camera import CameraParams
 from bendy_tpu.ops.wavefront import TraceConfig, trace
 from bendy_tpu.scene.compiler import SceneArrays
 from bendy_tpu.utils.rng import render_key
@@ -82,18 +82,17 @@ def render_pass_sharded(
     def shard_body(scn, cam):
         ti = jax.lax.axis_index("tiles")
         si = jax.lax.axis_index("samples")
-        B = rows_local * width * spp_local * nn
+        B = rows_local * width * nn
         local = jnp.arange(B, dtype=jnp.uint32)
         sub = local % jnp.uint32(nn)
-        s_local = (local // jnp.uint32(nn)) % jnp.uint32(spp_local)
-        pix_local = local // jnp.uint32(nn * spp_local)
         y0 = jnp.asarray(ti, jnp.uint32) * jnp.uint32(rows_local)
-        pix = y0 * jnp.uint32(width) + pix_local
-        s_global = jnp.asarray(si, jnp.uint32) * jnp.uint32(spp_local) + s_local
-        lane = (pix * jnp.uint32(spp_total) + s_global) * jnp.uint32(nn) + sub
+        pix = y0 * jnp.uint32(width) + local // jnp.uint32(nn)
+        sample0 = jnp.asarray(si, jnp.uint32) * jnp.uint32(spp_local)
 
-        org, direction = camera_rays(cam, width, height, spp_total, n, key, lane)
-        res = trace(scn, org, direction, key, lane, cfg)
+        res = trace(
+            scn, cam, key, pix, sub, width, height, spp_local, n, cfg,
+            spp_total=spp_total, sample0=sample0,
+        )
 
         if output == "full":
             ch = res.radiance
@@ -102,15 +101,13 @@ def render_pass_sharded(
         elif output == "normal":
             ch = res.aov_normal
         elif output == "depth":
-            d = (res.aov_depth - cfg.clip_min) / (cfg.clip_max - cfg.clip_min)
-            d = jnp.clip(d, 0.0, 1.0)
+            d = res.aov_depth  # already normalized+clamped per sample
             ch = V3(d, d, d)
         else:
             raise ValueError(f"unknown output {output!r}")
 
-        spn = spp_local * nn
         sums = jnp.stack(
-            [c.reshape(rows_local, width, spn).sum(axis=2) for c in (ch.x, ch.y, ch.z)],
+            [c.reshape(rows_local, width, nn).sum(axis=2) for c in (ch.x, ch.y, ch.z)],
             axis=-1,
         )
         # the only collectives of the whole renderer: film + ray-count

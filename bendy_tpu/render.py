@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bendy_tpu.film import Film
-from bendy_tpu.ops.camera import CameraParams, camera_rays
+from bendy_tpu.geodesic import GeoParams
+from bendy_tpu.ops.camera import CameraParams
 from bendy_tpu.ops.wavefront import TraceConfig, trace
 from bendy_tpu.scene.compiler import SceneArrays, compile_scene
 from bendy_tpu.scene.graph import Scene, Sphere
@@ -60,7 +61,11 @@ class Subsample:
 
 @dataclass(frozen=True)
 class Config:
-    """Defaults = ``Config::DEFAULT`` (``src/tracer/mod.rs:29-38``)."""
+    """Defaults = ``Config::DEFAULT`` (``src/tracer/mod.rs:29-38``).
+
+    ``geo`` configures the geodesic propagator (new capability); it only
+    takes effect when the scene contains ``mass:<rs>``-tagged objects.
+    """
 
     max_bounces: int = 8
     max_volume_bounces: int = 32
@@ -68,6 +73,7 @@ class Config:
     clip_max: float = 1000.0
     volume_step: float = 0.1
     output: Output = Output.FULL
+    geo: "GeoParams" = None  # type: ignore[assignment]
 
 
 @dataclass(frozen=True)
@@ -114,19 +120,21 @@ def render_pass(
     cfg: TraceConfig,
     output: str,
 ):
-    """One pass over image rows [y_offset, y_offset+rows): spp samples ×
-    subsample² subpixels per pixel.
+    """One pass over image rows [y_offset, y_offset+rows): each lane is a
+    (pixel, subpixel) and traces its spp samples sequentially inside the
+    wavefront loop (ray regeneration).
 
-    Returns (per-pixel channel sums [rows,W,3], traced-ray count). Lane ids
-    are global, so any row chunking produces bit-identical images.
+    Returns (per-pixel channel sums [rows,W,3], traced-ray count). Sample
+    ids are global, so any row chunking produces bit-identical images.
     """
     n = max(subsample, 1)
-    per_row = width * spp * n * n
-    B = rows * per_row
-    lane = jnp.asarray(y_offset, jnp.uint32) * jnp.uint32(per_row) + jnp.arange(B, dtype=jnp.uint32)
+    nn = n * n
+    B = rows * width * nn
+    local = jnp.arange(B, dtype=jnp.uint32)
+    sub = local % jnp.uint32(nn)
+    pix = jnp.asarray(y_offset, jnp.uint32) * jnp.uint32(width) + local // jnp.uint32(nn)
     key = render_key(jnp.asarray(seed, jnp.uint32), jnp.asarray(pass_idx, jnp.uint32))
-    org, direction = camera_rays(cam, width, height, spp, n, key, lane)
-    res = trace(scn, org, direction, key, lane, cfg)
+    res = trace(scn, cam, key, pix, sub, width, height, spp, n, cfg)
 
     if output == "full":
         ch = res.radiance
@@ -135,16 +143,13 @@ def render_pass(
     elif output == "normal":
         ch = res.aov_normal
     elif output == "depth":
-        # normalized + clamped depth (``tracer/mod.rs:306-308``)
-        d = (res.aov_depth - cfg.clip_min) / (cfg.clip_max - cfg.clip_min)
-        d = jnp.clip(d, 0.0, 1.0)
+        d = res.aov_depth  # already normalized+clamped per sample
         ch = V3(d, d, d)
     else:
         raise ValueError(f"unknown output {output!r}")
 
-    spn = spp * n * n
     sums = jnp.stack(
-        [c.reshape(rows, width, spn).sum(axis=2) for c in (ch.x, ch.y, ch.z)], axis=-1
+        [c.reshape(rows, width, nn).sum(axis=2) for c in (ch.x, ch.y, ch.z)], axis=-1
     )
     return sums, res.rays
 
@@ -165,6 +170,9 @@ class Renderer:
         self.rays_traced = 0.0
         self.has_volumes = any(
             isinstance(o.inner, Sphere) and o.inner.volume is not None for o in scene.iter()
+        )
+        self.has_masses = any(
+            o.tag is not None and o.tag.startswith("mass:") for o in scene.iter()
         )
 
     def camera_params(self, camera_ref: int, aspect_override: Optional[float] = None) -> CameraParams:
@@ -192,6 +200,8 @@ class Renderer:
             clip_max=cfg.clip_max,
             volume_step=cfg.volume_step,
             has_volumes=self.has_volumes,
+            geodesic=self.has_masses,
+            geo=cfg.geo,
         )
 
     def render(
@@ -215,32 +225,30 @@ class Renderer:
         nn = render_config.subsample.subpixel_count
         n = max(render_config.subsample.n, 1)
 
-        # chunk samples then rows so one dispatch stays <= max_lanes
-        spp_chunk = min(render_config.samples, max(1, self.max_lanes // max(W * H * nn, 1)))
-        remaining = render_config.samples
-        while remaining > 0:
-            s = min(spp_chunk, remaining)
-            per_row = W * s * nn
-            rows_chunk = min(H, max(1, self.max_lanes // per_row))
-            parts = []
-            for y0 in range(0, H, rows_chunk):
-                rows = min(rows_chunk, H - y0)
-                sums, rays = render_pass(
-                    self.arrays,
-                    cam,
-                    jnp.uint32(seed),
-                    jnp.int32(film.passes),
-                    jnp.int32(y0),
-                    W,
-                    H,
-                    rows,
-                    s,
-                    n,
-                    tcfg,
-                    cfg.output.value,
-                )
-                parts.append(np.asarray(sums))
-                self.rays_traced += float(rays)
-            film.add_pass(np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0], s * nn)
-            remaining -= s
+        # one lane per (pixel, subpixel); spp runs inside the wavefront via
+        # ray regeneration. Rows are chunked so a dispatch stays <= max_lanes.
+        rows_chunk = min(H, max(1, self.max_lanes // max(W * nn, 1)))
+        parts = []
+        for y0 in range(0, H, rows_chunk):
+            rows = min(rows_chunk, H - y0)
+            sums, rays = render_pass(
+                self.arrays,
+                cam,
+                jnp.uint32(seed),
+                jnp.int32(film.passes),
+                jnp.int32(y0),
+                W,
+                H,
+                rows,
+                render_config.samples,
+                n,
+                tcfg,
+                cfg.output.value,
+            )
+            parts.append(np.asarray(sums))
+            self.rays_traced += float(rays)
+        film.add_pass(
+            np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0],
+            render_config.samples * nn,
+        )
         return Status.IN_PROGRESS

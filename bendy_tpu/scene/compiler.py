@@ -126,6 +126,8 @@ class SceneArrays:
     light_face_hh: jnp.ndarray  # [L,F]
     light_face_cdf: jnp.ndarray  # [L,F] cumulative area weights
     light_face_valid: jnp.ndarray  # [L,F] bool
+    light_sph_row: jnp.ndarray  # [L] sphere row of a sphere light, -1 otherwise
+    light_rct_rows: jnp.ndarray  # [L,F] rect rows of a rect/cuboid light, -1 pad
 
     # volumes: stacked density grids
     vol_grid: jnp.ndarray  # [G, D, H, W]
@@ -140,6 +142,17 @@ class SceneArrays:
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves)
+
+    def host_copy(self) -> "SceneArrays":
+        """Numpy-leaved copy for host consumers (native oracle, IO).
+
+        ``compile_scene`` stashes the originals under ``_host`` because a
+        device round-trip costs seconds per leaf on remote (axon) TPUs.
+        """
+        stash = getattr(self, "_host", None)
+        if stash is not None:
+            return stash
+        return jax.device_get(self)
 
     @property
     def n_spheres(self) -> int:
@@ -177,6 +190,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
     rct = {k: [] for k in ("center", "x", "y", "z", "hw", "hh", "mtype", "albedo",
                            "rough", "ior", "emitted")}
     sphere_row_of_obj: dict[int, int] = {}
+    rect_rows_of_obj: dict[int, list[int]] = {}
 
     def add_rect(world, offset, rect: Rect) -> None:
         m = mat(rect.material)
@@ -213,10 +227,14 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
                 sph["vol_grid"].append(-1)
                 sph["vol_size"].append(np.zeros(3, np.float32))
         elif isinstance(inner, Rect):
+            rect_rows_of_obj[ref] = [len(rct["hw"])]
             add_rect(world, np.zeros(3), inner)
         elif isinstance(inner, Cuboid):
+            rows = []
             for offset, rect in inner.faces:
+                rows.append(len(rct["hw"]))
                 add_rect(world, offset, rect)
+            rect_rows_of_obj[ref] = rows
         # Camera / Empty objects are not hit-testable (``object/mod.rs:178``)
 
     # lights
@@ -234,11 +252,14 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
     lfhh = np.ones((L, F), np.float32)
     lcdf = np.ones((L, F), np.float32)
     lval = np.zeros((L, F), bool)
+    lsrow = np.full(L, -1, np.int32)
+    lrrows = np.full((L, F), -1, np.int32)
     for i, (ref, obj) in enumerate(lights):
         if isinstance(obj.inner, Sphere):
             lk[i] = 0
             lsc[i] = obj.transform.world[:, 3]
             lsr[i] = obj.inner.radius
+            lsrow[i] = sphere_row_of_obj[ref]
         else:
             lk[i] = 1
             world = obj.transform.world
@@ -258,6 +279,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
                 lfhh[i, j] = r.half_height
                 lcdf[i, j] = cdf[j]
                 lval[i, j] = True
+                lrrows[i, j] = rect_rows_of_obj[ref][j]
             lcdf[i, len(faces):] = 1.0
 
     # volumes: pad all grids to a common [D,H,W]
@@ -281,15 +303,14 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
 
     root = scene.root_material_data()
 
-    f = lambda x, shape=None: jnp.asarray(  # noqa: E731
-        np.asarray(x, np.float32).reshape(shape) if shape else np.asarray(x, np.float32),
-        dtype=dtype,
+    f = lambda x, shape=None: (  # noqa: E731
+        np.asarray(x, np.float32).reshape(shape) if shape else np.asarray(x, np.float32)
     )
-    i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))  # noqa: E731
+    i32 = lambda x: np.asarray(x, np.int32)  # noqa: E731
 
     Ns = len(sph["radius"])
     Nr = len(rct["hw"])
-    return SceneArrays(
+    host = SceneArrays(
         sph_center=f(sph["center"], (Ns, 3)),
         sph_radius=f(sph["radius"], (Ns,)),
         sph_mtype=i32(sph["mtype"]).reshape(Ns),
@@ -323,11 +344,21 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         light_face_hw=f(lfhw),
         light_face_hh=f(lfhh),
         light_face_cdf=f(lcdf),
-        light_face_valid=jnp.asarray(lval),
+        light_face_valid=np.asarray(lval),
+        light_sph_row=i32(lsrow),
+        light_rct_rows=i32(lrrows),
         vol_grid=f(vol_grid),
         mass_center=f(np.asarray(mass_center, np.float32).reshape(-1, 3)),
         mass_rs=f(np.asarray(mass_rs, np.float32).reshape(-1)),
     )
+    arrays = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype) if x.dtype == np.float32 else jnp.asarray(x), host
+    )
+    # stash the numpy originals for host consumers (native oracle): a
+    # device round-trip costs seconds per leaf on remote (axon) TPUs.
+    # Not a pytree field; lost across jit boundaries (see host_copy()).
+    object.__setattr__(arrays, "_host", host)
+    return arrays
 
 
 def find_camera(scene: Scene, tag: str = "camera") -> tuple[Camera, np.ndarray]:

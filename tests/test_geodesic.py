@@ -1,0 +1,131 @@
+"""Geodesic propagator physics tests.
+
+No reference implementation exists (the reference advertises lensing but
+ships straight rays — SURVEY.md §0), so these gates are analytic:
+
+- weak-field deflection: alpha ~= 2·rs/b for b >> rs,
+- photon sphere: critical impact parameter b_crit = (3*sqrt(3)/2)·rs —
+  rays inside are captured, rays outside escape,
+- flat limit: rs = 0 leaves rays exactly straight.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bendy_tpu.geodesic import GeoParams, acceleration, capture_and_far, rk4_step, step_size
+from bendy_tpu.scene import Data, Material, Object, ObjectFlags, Scene, Sphere, compile_scene
+from bendy_tpu.utils.v3 import V3
+
+
+def mass_scene(rs: float) -> Scene:
+    scene = Scene()
+    scene.add_object(Object().with_tag(f"mass:{rs}"))
+    # a dummy light keeps the compiler's light table non-degenerate
+    mat = scene.add_data(Data(Material.emissive((1, 1, 1), 1.0)))
+    scene.add_object(
+        Object(Sphere(material=mat, radius=0.1)).with_translation([0, 0, 500.0]).with_flags(
+            ObjectFlags.LIGHT
+        )
+    )
+    return scene
+
+
+def integrate(scn, x0, d0, n_steps, ds=None, geo=GeoParams()):
+    """Pure-python RK4 driver over the jnp step function."""
+    x, d = x0, d0
+    min_r = jnp.full_like(x0.x, jnp.inf)
+    for _ in range(n_steps):
+        h = step_size(scn, x, geo) if ds is None else jnp.full_like(x.x, ds)
+        x, d = rk4_step(scn, x, d, h)
+        min_r = jnp.minimum(min_r, x.length())
+    return x, d, min_r
+
+
+def v3(x, y, z, n=1):
+    return V3(jnp.full(n, float(x)), jnp.full(n, float(y)), jnp.full(n, float(z)))
+
+
+class TestDeflection:
+    def test_weak_field_angle(self):
+        """alpha = 2·rs/b within a few percent for b >> rs."""
+        rs = 0.01
+        scn = compile_scene(mass_scene(rs))
+        for b in [1.0, 2.0, 4.0]:
+            x = v3(-60.0, b, 0.0)
+            d = v3(1.0, 0.0, 0.0)
+            x, d, _ = integrate(scn, x, d, 2600, ds=0.05)
+            assert float(x.x[0]) > 50.0  # passed the mass
+            alpha = float(jnp.arctan2(-d.y[0], d.x[0]))
+            expected = 2.0 * rs / b
+            assert alpha == pytest.approx(expected, rel=0.05), (b, alpha, expected)
+
+    def test_deflection_scales_inverse_b(self):
+        rs = 0.02
+        scn = compile_scene(mass_scene(rs))
+        angles = []
+        for b in [2.0, 4.0]:
+            x, d, _ = integrate(scn, v3(-60, b, 0), v3(1, 0, 0), 2600, ds=0.05)
+            angles.append(float(jnp.arctan2(-d.y[0], d.x[0])))
+        assert angles[0] / angles[1] == pytest.approx(2.0, rel=0.05)
+
+    def test_flat_limit_rs_zero(self):
+        scn = compile_scene(mass_scene(0.0))
+        x, d, _ = integrate(scn, v3(-30, 1.5, 0), v3(1, 0, 0), 600, ds=0.1)
+        np.testing.assert_allclose(np.asarray(d.y), 0.0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(d.x), 1.0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(x.y), 1.5, atol=1e-10)
+
+    def test_out_of_plane_symmetry(self):
+        """Deflection is rotationally symmetric about the mass axis."""
+        rs = 0.01
+        scn = compile_scene(mass_scene(rs))
+        _, d1, _ = integrate(scn, v3(-60, 2.0, 0), v3(1, 0, 0), 2600, ds=0.05)
+        _, d2, _ = integrate(scn, v3(-60, 0, 2.0), v3(1, 0, 0), 2600, ds=0.05)
+        a1 = float(jnp.arctan2(-d1.y[0], d1.x[0]))
+        a2 = float(jnp.arctan2(-d2.z[0], d2.x[0]))
+        assert a1 == pytest.approx(a2, rel=1e-3)
+
+
+class TestPhotonSphere:
+    RS = 0.5
+    B_CRIT = 3 * np.sqrt(3) / 2 * RS  # ~1.299
+
+    def run(self, b):
+        scn = compile_scene(mass_scene(self.RS))
+        geo = GeoParams(eta=0.02, min_step=0.002, max_step=0.5)
+        x = v3(-20.0, b, 0.0)
+        d = v3(1.0, 0.0, 0.0)
+        captured = False
+        for _ in range(6000):
+            h = step_size(scn, x, geo)
+            x, d = rk4_step(scn, x, d, h)
+            cap, _ = capture_and_far(scn, x, d, geo)
+            if bool(cap[0]):
+                captured = True
+                break
+            if float(x.length()[0]) > 30.0 and float(x.dot(d)[0]) > 0:
+                break
+        return captured
+
+    def test_inside_critical_captured(self):
+        assert self.run(self.B_CRIT * 0.85)
+
+    def test_outside_critical_escapes(self):
+        assert not self.run(self.B_CRIT * 1.25)
+
+
+class TestStepControl:
+    def test_adaptive_step_clamped(self):
+        scn = compile_scene(mass_scene(1.0))
+        geo = GeoParams(eta=0.1, min_step=0.05, max_step=1.5)
+        near = step_size(scn, v3(0.2, 0, 0), geo)
+        far = step_size(scn, v3(500.0, 0, 0), geo)
+        assert float(near[0]) == pytest.approx(geo.min_step)
+        assert float(far[0]) == pytest.approx(geo.max_step)
+
+    def test_acceleration_points_inward(self):
+        scn = compile_scene(mass_scene(0.5))
+        a = acceleration(scn, v3(3.0, 0, 0), v3(0, 1, 0))
+        assert float(a.x[0]) < 0
+        np.testing.assert_allclose(np.asarray(a.y), 0.0, atol=1e-9)
