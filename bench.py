@@ -12,32 +12,34 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 from bendy_tpu.film import Film
-from bendy_tpu.render import Renderer, RenderConfig, Subsample
+from bendy_tpu.render import Config, Renderer, RenderConfig, Subsample
 from bendy_tpu.scene import load_scene
 
 TARGET = 50.0  # Mrays/sec/chip (BASELINE.json)
 
 
-def main() -> None:
-    scene = load_scene("scenes/cornell.json.gz")
+def timed_render(scene, width, height, samples, subsample, config=Config(), seed=0):
+    """(Mrays/s, seconds) with a same-statics warmup pass excluded."""
     cam_ref = scene.find_by_tag("camera")
-    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
-    r = Renderer(scene)
-
-    film = Film(256, 256)
-    # warmup pass: compiles the (scene-shape, batch, config) program
-    r.render(cam_ref, RenderConfig(samples=8, subsample=Subsample(2)), film, seed=1)
-
-    film = Film(256, 256)
+    scene.get_object(cam_ref).inner.aspect_ratio = width / height
+    r = Renderer(scene, config)
+    rc = RenderConfig(samples=samples, subsample=Subsample(subsample))
+    r.render(cam_ref, rc, Film(width, height), seed=1)  # warmup: compile
+    film = Film(width, height)
     r.rays_traced = 0.0
     t0 = time.time()
-    r.render(cam_ref, RenderConfig(samples=64, subsample=Subsample(2)), film, seed=0)
+    r.render(cam_ref, rc, film, seed=seed)
     dt = time.time() - t0
+    return r.rays_traced / dt / 1e6, dt
 
-    mrays = r.rays_traced / dt / 1e6
+
+def main() -> None:
+    scene = load_scene("scenes/cornell.json.gz")
+    mrays, dt = timed_render(scene, 256, 256, 64, 2)
     print(
         json.dumps(
             {
@@ -48,6 +50,36 @@ def main() -> None:
             }
         )
     )
+
+    if "--full" in sys.argv:
+        results = {"cornell": {"mrays": round(mrays, 2), "seconds": round(dt, 3)}}
+        for name, spp, sub in [
+            ("cornell2", 64, 2),
+            ("scene", 64, 2),
+            ("volume", 64, 2),
+            ("cloud", 64, 2),
+        ]:
+            m, d = timed_render(load_scene(f"scenes/{name}.json.gz"), 256, 256, spp, sub)
+            results[name] = {"mrays": round(m, 2), "seconds": round(d, 3)}
+            print(f"{name}: {m:.1f} Mrays/s ({d:.2f}s)", file=sys.stderr)
+        m, d = timed_render(
+            load_scene("scenes/blackhole.json.gz"), 512, 512, 32, 1,
+            Config(max_bounces=2),
+        )
+        # the lensed north-star config, linearly projected to a v5e-8 pod
+        proj = d * (1920 * 1080 * 256) / (512 * 512 * 32) / 8
+        results["blackhole_geodesic"] = {
+            "mrays": round(m, 2),
+            "seconds": round(d, 3),
+            "projected_1080p_256spp_v5e8_s": round(proj, 1),
+        }
+        print(
+            f"blackhole: {m:.1f} Mrays/s ({d:.2f}s); projected 1080p@256spp "
+            f"on v5e-8: {proj:.1f}s",
+            file=sys.stderr,
+        )
+        with open("benches_results.json", "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview-every", type=int, default=0, help="write PNG every N samples")
     p.add_argument("--spp-per-pass", type=int, default=1,
                    help="samples per progressive pass (1 = reference cadence)")
+    p.add_argument("--serve", type=int, default=0,
+                   help="serve a live preview (HTML+PNG+stats) on this port")
     p.add_argument("--max-bounces", type=int, default=None)
     p.add_argument("--volume-step", type=float, default=None)
     return p
@@ -118,6 +120,13 @@ def main(argv=None) -> int:
         volume_step=args.volume_step,
     )
 
+    server = None
+    if args.serve:
+        from bendy_tpu.preview import PreviewServer
+
+        server = PreviewServer(args.serve)
+        print(f"live preview at http://localhost:{args.serve}/", file=sys.stderr)
+
     start = time.time()
     sum_delta = 0.0
     while film.samples < max_samples:
@@ -131,6 +140,8 @@ def main(argv=None) -> int:
             f"avg t per sample: {sum_delta/max(film.samples,1)*1000:.1f}ms",
             file=sys.stderr,
         )
+        if server is not None:
+            server.publish(film, mrays=round(renderer.rays_traced / max(sum_delta, 1e-9) / 1e6, 1))
         if args.preview_every and film.passes % args.preview_every == 0:
             _write_png(args.screenshot, film)
         if args.checkpoint:

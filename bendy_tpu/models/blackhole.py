@@ -28,7 +28,7 @@ def build_blackhole(rs: float = 1.0) -> Scene:
     scene = Scene()
 
     # dim gray environment so captured lanes read as a black shadow
-    env = scene.add_data(Data(Material.emissive((1.0, 1.0, 1.0), 0.02)))
+    env = scene.add_data(Data(Material.emissive((0.35, 0.38, 0.45), 0.02)))
     scene.set_root_material(env)
 
     scene.add_object(Object().with_tag(f"mass:{rs}"))
@@ -40,10 +40,10 @@ def build_blackhole(rs: float = 1.0) -> Scene:
 
     # background "stars": emissive spheres behind the hole
     star_cols = [
-        ((1.0, 0.85, 0.6), 6.0),
-        ((0.6, 0.8, 1.0), 6.0),
-        ((1.0, 0.5, 0.4), 5.0),
-        ((0.8, 1.0, 0.7), 5.0),
+        ((1.0, 0.75, 0.45), 1.6),
+        ((0.55, 0.75, 1.0), 1.5),
+        ((1.0, 0.45, 0.35), 1.4),
+        ((0.75, 1.0, 0.6), 1.3),
     ]
     positions = [
         (-7.0, 3.0, -30.0),
@@ -63,7 +63,7 @@ def build_blackhole(rs: float = 1.0) -> Scene:
         )
 
     # square "accretion ring" of hot emissive rects in the equatorial plane
-    hot = scene.add_data(Data(Material.emissive((1.0, 0.72, 0.35), 9.0)))
+    hot = scene.add_data(Data(Material.emissive((1.0, 0.62, 0.22), 2.4)))
     inner, outer = 3.0 * rs, 7.0 * rs
     half_w = (outer - inner) / 2.0
     mid = (outer + inner) / 2.0

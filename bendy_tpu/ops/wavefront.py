@@ -281,7 +281,7 @@ def trace(
 
         # === propagation segment + one intersection sweep ==================
         if cfg.geodesic:
-            ds = step_size(scn, org, geo)
+            ds = step_size(scn, org, geo, steps=geo_steps)
             x_next, d_next = rk4_step(scn, org, dirv, ds)
             chord = x_next - org
             chord_len = chord.length()
