@@ -66,7 +66,7 @@ def mass_row(scn: SceneArrays, k: int) -> tuple[V3, jnp.ndarray]:
 
 def acceleration(scn: SceneArrays, x: V3, d: V3) -> V3:
     """Sum of per-mass geodesic accelerations (static unroll)."""
-    B = x.x.shape[0]
+    B = x.x.shape
     a = V3.zeros(B)
     for k in range(scn.n_masses):
         center, rs = mass_row(scn, k)
@@ -83,7 +83,7 @@ def acceleration(scn: SceneArrays, x: V3, d: V3) -> V3:
 def step_size(scn: SceneArrays, x: V3, p: GeoParams, steps=None) -> jnp.ndarray:
     """Adaptive ds: a fraction of the distance to the nearest mass,
     progressively coarsened for long-running paths (``growth``)."""
-    B = x.x.shape[0]
+    B = x.x.shape
     r2_min = jnp.full(B, jnp.inf, x.x.dtype)
     for k in range(scn.n_masses):
         center, _ = mass_row(scn, k)
@@ -112,7 +112,7 @@ def rk4_step(scn: SceneArrays, x: V3, d: V3, ds: jnp.ndarray) -> tuple[V3, V3]:
 
 def capture_and_far(scn: SceneArrays, x: V3, d: V3, p: GeoParams):
     """(captured, far_field): horizon capture and flat-space tests."""
-    B = x.x.shape[0]
+    B = x.x.shape
     captured = jnp.zeros(B, bool)
     far = jnp.ones(B, bool)
     for k in range(scn.n_masses):

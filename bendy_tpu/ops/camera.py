@@ -37,6 +37,8 @@ class CameraParams(NamedTuple):
     focus: jnp.ndarray  # [] f32; <= 0 means no defocus (focus disabled)
     rotation: jnp.ndarray  # [3,3] world rotation (linear part)
     translation: jnp.ndarray  # [3]
+    yfov: jnp.ndarray  # [] f32 = 2·atan2(sensor, 2·focal), precomputed on
+    #   the host (Mosaic has no arctan; tracer/mod.rs:248)
 
 
 def rotate(m: jnp.ndarray, v: V3) -> V3:
@@ -76,7 +78,7 @@ def camera_ray(
     u = px * pw - 1.0 + (si / n) * pw + (uj[0] - 0.5) * (pw / n)
     v = py * ph - 1.0 + (sj / n) * ph + (uj[1] - 0.5) * (ph / n)
 
-    yfov = 2.0 * jnp.arctan2(cam.sensor_size, 2.0 * cam.focal_length)
+    yfov = cam.yfov  # host-precomputed 2·atan2(sensor, 2·focal)
     xfov = yfov * cam.aspect_ratio
     yrot = xfov * 0.5 * -u
     xrot = yfov * 0.5 * -v
@@ -99,7 +101,8 @@ def camera_ray(
     origin_dof = origin + defocus_offset
     dir_dof = (d_world * frac_f_z - defocus_offset).normalize()
 
-    use_dof = cam.focus > 0.0
+    # full-shape predicate: Mosaic mis-lays-out scalar-pred selects
+    use_dof = (cam.focus > 0.0) & jnp.full(u.shape, True)
     origin = V3.where(use_dof, origin_dof, origin)
     direction = V3.where(use_dof, dir_dof, d_world)
     return origin, direction

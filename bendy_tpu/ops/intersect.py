@@ -120,7 +120,7 @@ def nearest_hit(
     still inside, an interior VOLUME event at t=cmax replaces that sphere's
     surface test.
     """
-    B = org.x.shape[0]
+    B = org.x.shape
     zero = jnp.zeros(B, org.x.dtype)
     i0 = jnp.zeros(B, jnp.int32)
 
@@ -249,7 +249,7 @@ def light_pdf(
     (``cuboid.rs:56-81``). 0.0 when the ray misses the light
     (``unwrap_or_default``). Static loop over lights and their faces.
     """
-    B = org.x.shape[0]
+    B = org.x.shape
     pdf = jnp.zeros(B, org.x.dtype)
     for li in range(scn.n_lights):
         sel = light_idx == li

@@ -61,7 +61,7 @@ def sample_light_point(scn: SceneArrays, light_idx: jnp.ndarray,
 
     Static loop over lights; per-light faces are scalar slices.
     """
-    B = u_a.shape[0]
+    B = u_a.shape
     usphere = distr.unit_sphere(u_a, u_b)
     out = V3.zeros(B)
     for li in range(scn.n_lights):
@@ -105,7 +105,7 @@ def shade_surface(
     clip_max: float,
 ) -> Shade:
     """Shade surface-face lanes; volume faces are handled by ops.volume."""
-    B = dir_in.x.shape[0]
+    B = dir_in.x.shape
     n = hit.normal
     pos = hit.position
     albedo = hit.albedo

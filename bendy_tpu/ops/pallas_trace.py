@@ -1,0 +1,205 @@
+"""Pallas megakernel: the whole wavefront loop in ONE TPU kernel.
+
+The XLA path compiles the loop body into ~60 fused kernels; at ~300 loop
+iterations the per-kernel launch overhead dominates the render (measured:
+compute is <10% of wall). This kernel keeps every lane's state in VMEM
+and runs the complete regeneration loop per block — one launch per
+render pass.
+
+Structure:
+- lanes reshape to [G·R, 128] (TPU-native 2-D tiles); the grid iterates
+  over G blocks of shape (R, 128),
+- the compiled scene is KBs and changes rarely: its numpy host copy bakes
+  into the kernel as constants (the tracer is rebuilt if scene values
+  change — camera pose stays a traced input, so camera motion does NOT
+  recompile),
+- the kernel calls the SAME shape-agnostic ``trace_core`` body as the XLA
+  path,
+- each block's loop exits when *its* lanes finish — spatially coherent
+  blocks (sky vs. black-hole core) stop early for free.
+
+``make_pallas_tracer`` returns a jitted (cam, key+sample0, pix, sub) -> TraceSums
+function; the renderer caches one per (scene, statics) and falls back to
+the XLA path if Mosaic rejects the kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bendy_tpu.ops.camera import CameraParams
+from bendy_tpu.ops.wavefront import TraceConfig, TraceSums, trace_core
+from bendy_tpu.scene.compiler import SceneArrays
+from bendy_tpu.utils.v3 import V3
+
+LANE = 128  # TPU lane width
+DEFAULT_ROWS = 32  # sublane rows per block -> 4096 lanes/block (swept optimum;
+#   smaller blocks exit earlier on coherent regions, larger ones amortize less)
+
+N_OUT = 10  # rx ry rz ax ay az nx ny nz dep
+
+
+def pack_camera(cam: CameraParams) -> jnp.ndarray:
+    """CameraParams -> [1,32] f32 (scalars + row-major rotation + translation)."""
+    flat = jnp.concatenate(
+        [
+            jnp.stack(
+                [cam.sensor_size, cam.focal_length, cam.aspect_ratio, cam.fstop,
+                 cam.focus, cam.yfov]
+            ).astype(jnp.float32),
+            cam.rotation.reshape(-1).astype(jnp.float32),
+            cam.translation.astype(jnp.float32),
+        ]
+    )
+    return jnp.pad(flat, (0, 32 - flat.shape[0])).reshape(1, 32)
+
+
+def unpack_camera(v: jnp.ndarray) -> CameraParams:
+    return CameraParams(
+        sensor_size=v[0, 0],
+        focal_length=v[0, 1],
+        aspect_ratio=v[0, 2],
+        fstop=v[0, 3],
+        focus=v[0, 4],
+        rotation=v[0, 6:15].reshape(3, 3),
+        translation=v[0, 15:18],
+        yfov=v[0, 5],
+    )
+
+
+def make_pallas_tracer(
+    scn: SceneArrays,
+    width: int,
+    height: int,
+    spp: int,
+    subsample: int,
+    cfg: TraceConfig,
+    spp_total: int | None = None,
+    block_rows: int = DEFAULT_ROWS,
+):
+    """Build the megakernel tracer for one compiled scene.
+
+    Returns ``fn(cam_packed [1,32] f32, aux [1,8] u32, pix [B], sub [B])
+    -> TraceSums``; aux = (key0, key1, sample0, ...).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    scn_host = scn.host_copy()  # numpy leaves -> kernel constants
+
+    def kernel(pix_ref, sub_ref, cam_ref, aux_ref, *outs):
+        cam_vals = unpack_camera(cam_ref[:])
+        key_vals = (aux_ref[0, 0], aux_ref[0, 1])
+        res = trace_core(
+            scn_host, cam_vals, key_vals, pix_ref[:], sub_ref[:],
+            width, height, spp, subsample, cfg,
+            spp_total=spp_total, sample0=aux_ref[0, 2],
+        )
+        vals = [
+            res.radiance.x, res.radiance.y, res.radiance.z,
+            res.aov_albedo.x, res.aov_albedo.y, res.aov_albedo.z,
+            res.aov_normal.x, res.aov_normal.y, res.aov_normal.z,
+            res.aov_depth,
+        ]
+        for ref, v in zip(outs[:N_OUT], vals):
+            ref[:] = v
+        # per-block traced-ray count in element [0,0] of an (8,128) tile
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+        outs[N_OUT][:] = jnp.where((row_ids == 0) & (lane_ids == 0), res.rays, 0.0)
+
+    lane_spec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+
+    @jax.jit
+    def run(cam_packed, seed, pass_idx, pix, sub, sample0=0):
+        from bendy_tpu.utils.rng import render_key
+
+        key = render_key(jnp.asarray(seed, jnp.uint32), jnp.asarray(pass_idx, jnp.uint32))
+        aux = pack_aux(key, sample0)
+        B = pix.shape[0]
+        block = block_rows * LANE
+        pad = (-B) % block
+        if pad:
+            pix = jnp.concatenate([pix, jnp.zeros(pad, jnp.uint32)])
+            sub = jnp.concatenate([sub, jnp.zeros(pad, jnp.uint32)])
+        rows_total = (B + pad) // LANE
+        grid = rows_total // block_rows
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[lane_spec, lane_spec, small(), small()],
+            out_specs=[lane_spec] * N_OUT
+            + [pl.BlockSpec((8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)] * N_OUT
+            + [jax.ShapeDtypeStruct((grid * 8, LANE), jnp.float32)],
+        )(pix.reshape(rows_total, LANE), sub.reshape(rows_total, LANE), cam_packed, aux)
+
+        flat = [o.reshape(-1)[:B] for o in outs[:N_OUT]]
+        return TraceSums(
+            radiance=V3(flat[0], flat[1], flat[2]),
+            aov_albedo=V3(flat[3], flat[4], flat[5]),
+            aov_normal=V3(flat[6], flat[7], flat[8]),
+            aov_depth=flat[9],
+            rays=jnp.sum(outs[N_OUT]),
+        )
+
+    return run
+
+
+def pack_aux(key: tuple, sample0=0) -> jnp.ndarray:
+    k0, k1 = key
+    return jnp.stack(
+        [
+            jnp.asarray(k0, jnp.uint32),
+            jnp.asarray(k1, jnp.uint32),
+            jnp.asarray(sample0, jnp.uint32),
+        ]
+        + [jnp.uint32(0)] * 5
+    ).reshape(1, 8)
+
+
+def make_pallas_render_pass(
+    scn: SceneArrays,
+    width: int,
+    height: int,
+    rows: int,
+    spp: int,
+    subsample: int,
+    cfg: TraceConfig,
+    output: str,
+    block_rows: int = DEFAULT_ROWS,
+):
+    """Megakernel equivalent of ``render.render_pass``: returns
+    ``fn(cam_packed, seed, pass_idx, y_offset) -> (sums [rows,W,3], rays)``."""
+    n = max(subsample, 1)
+    nn = n * n
+    tracer = make_pallas_tracer(scn, width, height, spp, subsample, cfg,
+                                block_rows=block_rows)
+
+    @jax.jit
+    def run(cam_packed, seed, pass_idx, y_offset):
+        B = rows * width * nn
+        local = jnp.arange(B, dtype=jnp.uint32)
+        sub = local % jnp.uint32(nn)
+        pix = jnp.asarray(y_offset, jnp.uint32) * jnp.uint32(width) + local // jnp.uint32(nn)
+        res = tracer(cam_packed, seed, pass_idx, pix, sub)
+        if output == "full":
+            ch = res.radiance
+        elif output == "albedo":
+            ch = res.aov_albedo
+        elif output == "normal":
+            ch = res.aov_normal
+        elif output == "depth":
+            d = res.aov_depth
+            ch = V3(d, d, d)
+        else:
+            raise ValueError(f"unknown output {output!r}")
+        sums = jnp.stack(
+            [c.reshape(rows, width, nn).sum(axis=2) for c in (ch.x, ch.y, ch.z)], axis=-1
+        )
+        return sums, res.rays
+
+    return run

@@ -91,7 +91,7 @@ def volume_shade(
     scattered = u[0] < density  # covers density >= 1 too (``volume.rs:38``)
 
     # interior events jitter the origin up to one step backwards (``volume.rs:40-42``)
-    back = V3.where(hit.face == FACE_VOLUME, dir_in * (step * u[1]), V3.zeros(u[0].shape[0]))
+    back = V3.where(hit.face == FACE_VOLUME, dir_in * (step * u[1]), V3.zeros(u[0].shape))
     scatter_org = hit.position - back
     scatter_dir = distr.unit_sphere(u[2], u[3])
 

@@ -86,6 +86,8 @@ class TraceConfig(NamedTuple):
     has_volumes: bool = False  # static: volume branch compiled only when needed
     geodesic: bool = False  # static: curved-ray propagation (scene has masses)
     geo: "GeoParams" = None  # type: ignore[assignment]
+    want_aovs: bool = True  # static: False drops the whole AOV pipeline from
+    #   the loop carry (13 [B] arrays + claim logic) for FULL-only renders
 
     def max_iters(self, spp: int) -> int:
         """Loop-length safety cap: per-path worst case × samples."""
@@ -109,6 +111,9 @@ class TraceSums(NamedTuple):
 
 class _State(NamedTuple):
     it: jnp.ndarray
+    n_pending: jnp.ndarray  # [] scalar count of lanes with work left
+    #   (carried so the while cond reads a scalar — a vector reduction in
+    #   the cond trips Mosaic layout inference)
     sample: jnp.ndarray  # [B] current sample index (starts at -1)
     path_step: jnp.ndarray  # [B] iteration count within the current path
     path_open: jnp.ndarray  # [B] current path not yet folded into the accumulators
@@ -146,7 +151,7 @@ def _env_terms(scn: SceneArrays, dir: V3, clip_max: float):
     albedo = V3(scn.root_albedo[0], scn.root_albedo[1], scn.root_albedo[2])
     emitted = V3(scn.root_emitted[0], scn.root_emitted[1], scn.root_emitted[2])
     is_const = (mtype == MAT_FLAT) | (mtype == MAT_EMISSIVE)
-    B = dir.x.shape[0]
+    B = dir.x.shape
     color = V3.where(is_const, V3.zeros(B) + emitted, V3.zeros(B) + albedo)
     aov_albedo = V3.where(is_const, V3.zeros(B), V3.zeros(B) + albedo)
     is_em = mtype == MAT_EMISSIVE
@@ -155,11 +160,7 @@ def _env_terms(scn: SceneArrays, dir: V3, clip_max: float):
     return color, aov_albedo, aov_normal, aov_depth
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "subsample", "cfg", "spp_total"),
-)
-def trace(
+def trace_core(
     scn: SceneArrays,
     cam: CameraParams,
     key: tuple,
@@ -179,7 +180,7 @@ def trace(
     the slice [sample0, sample0+spp) of a global spp_total while keeping
     globally unique RNG stream ids.
     """
-    B = pix.shape[0]
+    B = pix.shape
     n = max(subsample, 1)
     nn = n * n
     geo = cfg.geo or _DEFAULT_GEO
@@ -187,93 +188,123 @@ def trace(
         spp_total = spp
     sample0 = jnp.asarray(sample0, jnp.uint32)
 
-    # static per-lane coordinates (loop-invariant)
-    px = (pix % jnp.uint32(width)).astype(jnp.float32)
-    py = (pix // jnp.uint32(width)).astype(jnp.float32)
-    si = (sub % jnp.uint32(n)).astype(jnp.float32)
-    sj = (sub // jnp.uint32(n)).astype(jnp.float32)
+    def lane_coords():
+        # per-lane coordinates. Casts go u32->i32->f32: Mosaic has no
+        # u32->f32, and the values are < 2^31. Recomputed inside the loop
+        # body (7 ops) — loop-invariant vector captures trip Mosaic layout
+        # inference ("replicated in destination but not in source").
+        pix_i = pix.astype(jnp.int32)
+        sub_i = sub.astype(jnp.int32)
+        px = (pix_i % width).astype(jnp.float32)
+        py = (pix_i // width).astype(jnp.float32)
+        si = (sub_i % n).astype(jnp.float32)
+        sj = (sub_i // n).astype(jnp.float32)
+        return px, py, si, sj
 
     def sample_id(sample):
         """Global RNG stream id for (pixel, sample, subpixel)."""
         s_glob = sample0 + sample.astype(jnp.uint32)
         return (pix * jnp.uint32(spp_total) + s_glob) * jnp.uint32(nn) + sub
 
+    # Carry inits are seeded with a lane-varying zero: Mosaic infers while
+    # carry layouts from the init values, and pure broadcast constants get
+    # a replicated layout the loop body then cannot store varying data
+    # into ("Invalid relayout ... replicated in destination").
+    # [B] zeros with a genuinely varying layout: pix < 2^31, so the shift
+    # yields 0, but unlike x^x or x*0 no compiler pass can fold it away
+    zi = (pix >> jnp.uint32(31)).astype(jnp.int32)
+    zf = zi.astype(jnp.float32)
+    zv = V3(zf, zf, zf)
+    BA = B if cfg.want_aovs else ()  # AOV slots off -> 0-d scalars
+    za = zf if cfg.want_aovs else jnp.float32(0.0)
+    zav = zv if cfg.want_aovs else V3.zeros(())
     state = _State(
         it=jnp.uint32(0),
-        sample=jnp.full(B, -1, jnp.int32),
-        path_step=jnp.zeros(B, jnp.int32),
-        path_open=jnp.zeros(B, bool),
-        org=V3.zeros(B),
-        dir=V3.zeros(B) + V3.of(0.0, 0.0, -1.0),
-        thr=V3.zeros(B),
-        rad=V3.zeros(B),
-        bounce=jnp.zeros(B, jnp.int32),
-        vbounce=jnp.zeros(B, jnp.int32),
-        mode=jnp.full(B, MODE_DEAD, jnp.int32),
-        last_sph=jnp.full(B, -1, jnp.int32),
-        aov_open=jnp.zeros(B, bool),
-        aov_alb=V3.zeros(B),
-        aov_nrm=V3.zeros(B),
-        aov_dep=jnp.full(B, jnp.inf),
-        geo_steps=jnp.zeros(B, jnp.int32),
-        fresh=jnp.ones(B, bool),
-        acc_rad=V3.zeros(B),
-        acc_alb=V3.zeros(B),
-        acc_nrm=V3.zeros(B),
-        acc_dep=jnp.zeros(B),
+        n_pending=jnp.int32(1),
+        sample=zi - 1,
+        path_step=zi,
+        path_open=zi,  # int32 mask: Mosaic can't carry i1
+        org=zv,
+        dir=zv + V3.of(0.0, 0.0, -1.0),
+        thr=zv,
+        rad=zv,
+        bounce=zi,
+        vbounce=zi,
+        mode=zi + MODE_DEAD,
+        last_sph=zi - 1,
+        aov_open=(zi if cfg.want_aovs else jnp.int32(0)),
+        aov_alb=zav,
+        aov_nrm=zav,
+        aov_dep=za + jnp.inf,
+        geo_steps=zi,
+        fresh=zi + 1,
+        acc_rad=zv,
+        acc_alb=zav,
+        acc_nrm=zav,
+        acc_dep=za,
         rays=jnp.float32(0.0),
     )
 
     def cond(s: _State):
-        pending = (s.mode != MODE_DEAD) | (s.sample + 1 < spp)
-        return (s.it < cfg.max_iters(spp)) & jnp.any(pending)
+        return (s.it < cfg.max_iters(spp)) & (s.n_pending > 0)
 
     def body(s: _State) -> _State:
         # === finalize dead paths, regenerate camera rays ===================
         dead = s.mode == MODE_DEAD
-        # normalized+clamped per-sample depth (``tracer/mod.rs:306-308``)
-        dep_n = jnp.clip(
-            (s.aov_dep - cfg.clip_min) / (cfg.clip_max - cfg.clip_min), 0.0, 1.0
-        )
-        fin = dead & s.path_open
-        acc_rad = s.acc_rad + V3.where(fin, s.rad, V3.zeros(B))
-        acc_alb = s.acc_alb + V3.where(fin, s.aov_alb, V3.zeros(B))
-        acc_nrm = s.acc_nrm + V3.where(fin, s.aov_nrm, V3.zeros(B))
-        acc_dep = s.acc_dep + jnp.where(fin, dep_n, 0.0)
+        fin = dead & (s.path_open != 0)
+        acc_rad = s.acc_rad + V3.where(fin, s.rad, zv)
+        if cfg.want_aovs:
+            # normalized+clamped per-sample depth (``tracer/mod.rs:306-308``)
+            dep_n = jnp.clip(
+                (s.aov_dep - cfg.clip_min) / (cfg.clip_max - cfg.clip_min), 0.0, 1.0
+            )
+            acc_alb = s.acc_alb + V3.where(fin, s.aov_alb, zv)
+            acc_nrm = s.acc_nrm + V3.where(fin, s.aov_nrm, zv)
+            acc_dep = s.acc_dep + jnp.where(fin, dep_n, 0.0)
+        else:
+            acc_alb, acc_nrm, acc_dep = s.acc_alb, s.acc_nrm, s.acc_dep
 
         regen = dead & (s.sample + 1 < spp)
-        path_open = jnp.where(regen, True, s.path_open & ~fin)
-        path_step = jnp.where(regen, 0, s.path_step)
-        sample = jnp.where(regen, s.sample + 1, s.sample)
+        regen_i = regen.astype(jnp.int32)
+        keep_i = 1 - regen_i
+        path_open = jnp.maximum(regen_i, s.path_open * (1 - fin.astype(jnp.int32)))
+        path_step = s.path_step * keep_i
+        sample = s.sample + regen_i
         sid = sample_id(jnp.maximum(sample, 0))
+        px, py, si, sj = lane_coords()
         cam_org, cam_dir = camera_ray(
             cam, width, height, n, key, sid, px, py, si, sj
         )
         org = V3.where(regen, cam_org, s.org)
         dirv = V3.where(regen, cam_dir, s.dir)
-        thr = V3.where(regen, V3.zeros(B) + 1.0, s.thr)
-        rad = V3.where(regen, V3.zeros(B), s.rad)
-        bounce = jnp.where(regen, 0, s.bounce)
-        vbounce = jnp.where(regen, 0, s.vbounce)
-        mode = jnp.where(regen, MODE_SURFACE, s.mode)
-        aov_open = jnp.where(regen, True, s.aov_open)
-        aov_alb = V3.where(regen, V3.zeros(B), s.aov_alb)
-        aov_nrm = V3.where(regen, V3.zeros(B), s.aov_nrm)
-        aov_dep = jnp.where(regen, jnp.inf, s.aov_dep)
-        geo_steps = jnp.where(regen, 0, s.geo_steps)
-        fresh = jnp.where(regen, True, s.fresh)
+        thr = V3.where(regen, zv + 1.0, s.thr)
+        rad = V3.where(regen, zv, s.rad)
+        bounce = s.bounce * keep_i
+        vbounce = s.vbounce * keep_i
+        mode = s.mode * keep_i + MODE_SURFACE * regen_i
+        if cfg.want_aovs:
+            aov_open = jnp.maximum(regen_i, s.aov_open)
+            aov_alb = V3.where(regen, zav, s.aov_alb)
+            aov_nrm = V3.where(regen, zav, s.aov_nrm)
+            aov_dep = jnp.where(regen, jnp.inf, s.aov_dep)
+        else:
+            aov_open, aov_alb, aov_nrm, aov_dep = (
+                s.aov_open, s.aov_alb, s.aov_nrm, s.aov_dep
+            )
+        geo_steps = s.geo_steps * keep_i
+        fresh = jnp.maximum(regen_i, s.fresh)
 
         # === bounce-cap kills at path entry (``tracer/mod.rs:323-325,352-354``)
         over_b = (mode == MODE_SURFACE) & (bounce > cfg.max_bounces)
         over_v = (mode == MODE_MARCH) & (vbounce > cfg.max_volume_bounces)
-        mode = jnp.where(over_b | over_v, MODE_DEAD, mode)
+        mode = mode * (1 - (over_b | over_v).astype(jnp.int32))
 
         if cfg.geodesic:
             # horizon capture / step-budget exhaustion swallow the path
             surf_mode = mode == MODE_SURFACE
             captured, far_field = capture_and_far(scn, org, dirv, geo)
-            mode = jnp.where(
-                surf_mode & (captured | (geo_steps > geo.max_steps)), MODE_DEAD, mode
+            mode = mode * (
+                1 - (surf_mode & (captured | (geo_steps > geo.max_steps))).astype(jnp.int32)
             )
 
         alive = mode != MODE_DEAD
@@ -312,29 +343,30 @@ def trace(
         env_color, env_alb, env_nrm, env_dep = _env_terms(scn, trace_dir, cfg.clip_max)
 
         # === radiance & throughput =========================================
-        rad = rad + V3.where(miss, thr * env_color, V3.zeros(B))
-        rad = rad + V3.where(surf, thr * sh.emitted, V3.zeros(B))
+        rad = rad + V3.where(miss, thr * env_color, zv)
+        rad = rad + V3.where(surf, thr * sh.emitted, zv)
         thr = V3.where(surf & sh.scatter, thr * sh.weight, thr)
 
         # === continuation ray & mode transitions ===========================
         new_org = V3.where(surf, hit.position, org)
         new_dir = V3.where(surf, sh.direction, dirv)
         surf_cont = surf & sh.scatter
-        new_mode = jnp.where(alive & surf_cont, MODE_SURFACE, MODE_DEAD)
-        bounce = jnp.where(surf_cont, bounce + 1, bounce)
+        new_mode = MODE_SURFACE * (alive & surf_cont).astype(jnp.int32)
+        bounce = bounce + surf_cont.astype(jnp.int32)
         last_sph = s.last_sph
-        fresh = jnp.where(surf, True, fresh)
+        fresh = jnp.maximum(fresh, surf.astype(jnp.int32))
         if cfg.geodesic:
             new_org = V3.where(geo_cont, x_next, new_org)
             new_dir = V3.where(geo_cont, d_next, new_dir)
-            new_mode = jnp.where(geo_cont, MODE_SURFACE, new_mode)
-            geo_steps = jnp.where(near, geo_steps + 1, geo_steps)
-            fresh = jnp.where(geo_cont, False, fresh)
+            new_mode = jnp.maximum(new_mode, MODE_SURFACE * geo_cont.astype(jnp.int32))
+            geo_steps = geo_steps + near.astype(jnp.int32)
+            fresh = fresh * (1 - geo_cont.astype(jnp.int32))
 
-        claim_alb = V3.where(surf, sh.aov_albedo, env_alb)
-        claim_nrm = V3.where(surf, sh.aov_normal, env_nrm)
-        claim_dep = jnp.where(surf, sh.aov_depth, env_dep)
-        claim = (surf | miss) & aov_open
+        if cfg.want_aovs:
+            claim_alb = V3.where(surf, sh.aov_albedo, env_alb)
+            claim_nrm = V3.where(surf, sh.aov_normal, env_nrm)
+            claim_dep = jnp.where(surf, sh.aov_depth, env_dep)
+            claim = (surf | miss) & (aov_open != 0)
 
         if cfg.has_volumes:
             vol = alive & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
@@ -347,21 +379,36 @@ def trace(
             # (``tracer/mod.rs:503-513``); everything else keeps marching.
             vol_exit = vol & (hit.face == FACE_VOLUME_BACK)
             vol_march = vol & (hit.face != FACE_VOLUME_BACK)
-            new_mode = jnp.where(vol_exit, MODE_SURFACE, new_mode)
-            new_mode = jnp.where(vol_march, MODE_MARCH, new_mode)
-            bounce = jnp.where(vol_exit, bounce + 1, bounce)
-            vbounce = jnp.where(vol_march, jnp.where(march, vbounce + 1, 1), vbounce)
-            last_sph = jnp.where(vol_march, hit.sphere_row, last_sph)
-            fresh = jnp.where(vol, True, fresh)
+            vol_exit_i = vol_exit.astype(jnp.int32)
+            vol_march_i = vol_march.astype(jnp.int32)
+            new_mode = (
+                new_mode * (1 - vol_exit_i - vol_march_i)
+                + MODE_SURFACE * vol_exit_i
+                + MODE_MARCH * vol_march_i
+            )
+            bounce = bounce + vol_exit_i
+            vbounce = (
+                vbounce * (1 - vol_march_i)
+                + (jnp.where(march, vbounce + 1, 1)) * vol_march_i
+            )
+            last_sph = (
+                last_sph * (1 - vol_march_i) + hit.sphere_row * vol_march_i
+            )
+            fresh = jnp.maximum(fresh, vol.astype(jnp.int32))
 
-            vol_claim = vol & vs.scattered
-            claim_alb = V3.where(vol_claim, V3.zeros(B) + 0.8, claim_alb)
-            claim_nrm = V3.where(vol_claim, hit.normal, claim_nrm)
-            claim_dep = jnp.where(vol_claim, hit.t, claim_dep)
-            claim = claim | (vol_claim & aov_open)
+            if cfg.want_aovs:
+                vol_claim = vol & vs.scattered
+                claim_alb = V3.where(vol_claim, zv + 0.8, claim_alb)
+                claim_nrm = V3.where(vol_claim, hit.normal, claim_nrm)
+                claim_dep = jnp.where(vol_claim, hit.t, claim_dep)
+                claim = claim | (vol_claim & (aov_open != 0))
 
+        n_pending = jnp.sum(
+            ((new_mode != MODE_DEAD) | (sample + 1 < spp)).astype(jnp.int32)
+        )
         return _State(
             it=s.it + 1,
+            n_pending=n_pending,
             sample=sample,
             path_step=path_step + 1,
             path_open=path_open,
@@ -373,10 +420,10 @@ def trace(
             vbounce=vbounce,
             mode=new_mode,
             last_sph=last_sph,
-            aov_open=aov_open & ~claim,
-            aov_alb=V3.where(claim, claim_alb, aov_alb),
-            aov_nrm=V3.where(claim, claim_nrm, aov_nrm),
-            aov_dep=jnp.where(claim, claim_dep, aov_dep),
+            aov_open=aov_open * (1 - claim.astype(jnp.int32)) if cfg.want_aovs else aov_open,
+            aov_alb=V3.where(claim, claim_alb, aov_alb) if cfg.want_aovs else aov_alb,
+            aov_nrm=V3.where(claim, claim_nrm, aov_nrm) if cfg.want_aovs else aov_nrm,
+            aov_dep=jnp.where(claim, claim_dep, aov_dep) if cfg.want_aovs else aov_dep,
             geo_steps=geo_steps,
             fresh=fresh,
             acc_rad=acc_rad,
@@ -389,15 +436,34 @@ def trace(
     final = jax.lax.while_loop(cond, body, state)
 
     # fold in each lane's last completed path (not yet accumulated in-loop)
+    fin = (final.mode == MODE_DEAD) & (final.path_open != 0)
+    B_ = pix.shape
+    radiance = final.acc_rad + V3.where(fin, final.rad, zv)
+    if not cfg.want_aovs:
+        # AOV slots alias the radiance (callers only read .radiance)
+        return TraceSums(
+            radiance=radiance,
+            aov_albedo=radiance,
+            aov_normal=radiance,
+            aov_depth=radiance.x,
+            rays=final.rays,
+        )
     dep_n = jnp.clip(
         (final.aov_dep - cfg.clip_min) / (cfg.clip_max - cfg.clip_min), 0.0, 1.0
     )
-    fin = (final.mode == MODE_DEAD) & final.path_open
-    B_ = pix.shape[0]
     return TraceSums(
-        radiance=final.acc_rad + V3.where(fin, final.rad, V3.zeros(B_)),
-        aov_albedo=final.acc_alb + V3.where(fin, final.aov_alb, V3.zeros(B_)),
-        aov_normal=final.acc_nrm + V3.where(fin, final.aov_nrm, V3.zeros(B_)),
+        radiance=radiance,
+        aov_albedo=final.acc_alb + V3.where(fin, final.aov_alb, zv),
+        aov_normal=final.acc_nrm + V3.where(fin, final.aov_nrm, zv),
         aov_depth=final.acc_dep + jnp.where(fin, dep_n, 0.0),
         rays=final.rays,
     )
+
+
+trace = partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "subsample", "cfg", "spp_total"),
+)(trace_core)
+"""XLA-compiled entry point; ``trace_core`` stays reusable inside the
+Pallas megakernel (ops/pallas_trace.py), where the same body runs on
+VMEM-resident values with one kernel launch for the whole loop."""

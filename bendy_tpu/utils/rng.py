@@ -50,8 +50,12 @@ def threefry2x32(k0, k1, x0, x1):
 
 
 def _to_unit_float(bits: jnp.ndarray) -> jnp.ndarray:
-    """u32 -> f32 in [0, 1): top 24 bits scaled by 2^-24."""
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    """u32 -> f32 in [0, 1): top 24 bits scaled by 2^-24.
+
+    The intermediate cast goes via int32 (always < 2^24 after the shift):
+    Mosaic's TPU lowering has no u32->f32 conversion.
+    """
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def render_key(seed, pass_idx) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -33,9 +33,10 @@ def traced(cornell_nodof):
     pix = jnp.arange(W * H, dtype=jnp.uint32)
     sub = jnp.zeros(W * H, jnp.uint32)
     key = render_key(jnp.uint32(5), jnp.uint32(0))
+    # want_aovs: FULL output drops the AOV pipeline by default
+    cfg = r.trace_config(r.config)._replace(want_aovs=True)
     res = trace(
-        r.arrays, r.camera_params(cam_ref), key, pix, sub,
-        W, H, spp, 1, r.trace_config(r.config),
+        r.arrays, r.camera_params(cam_ref), key, pix, sub, W, H, spp, 1, cfg,
     )
     return r, res, W, H, spp
 
