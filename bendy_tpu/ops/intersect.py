@@ -125,9 +125,11 @@ def nearest_hit(
     i0 = jnp.zeros(B, jnp.int32)
 
     t_best = jnp.full(B, INF, org.x.dtype)
-    is_sph = jnp.zeros(B, bool)
+    # int32 masks, not bool: Mosaic cannot lower bool selects against
+    # broadcast constants (i8->i1 truncation)
+    is_sph = i0
     srow = i0 - 1
-    interior = jnp.zeros(B, bool)
+    interior = i0
     # carried winner attributes (selected as scalars, broadcast-free)
     c_center = V3(zero, zero, zero)
     c_radius = zero + 1.0
@@ -147,17 +149,19 @@ def nearest_hit(
         center = row3(scn.sph_center, k)
         radius = scn.sph_radius[k]
         t_k = sphere_t(org, dir, cmin, cmax, center, radius)
-        int_k = jnp.zeros(B, bool)
+        int_k = i0
         if march is not None:
             is_last = march & (last_sphere == k)
             inside = (end - center).length_squared() <= radius * radius
-            int_k = is_last & inside
+            int_k = (is_last & inside).astype(jnp.int32)
             t_k = jnp.where(is_last, jnp.where(inside, cmax, t_k), t_k)
         better = t_k < t_best
+        better_i = better.astype(jnp.int32)
+        keep_i = 1 - better_i
         t_best = jnp.where(better, t_k, t_best)
-        is_sph = jnp.where(better, True, is_sph)
-        srow = jnp.where(better, k, srow)
-        interior = jnp.where(better, int_k, interior)
+        is_sph = jnp.maximum(is_sph, better_i)
+        srow = srow * keep_i + k * better_i
+        interior = interior * keep_i + int_k * better_i
         c_center = V3.where(better, center, c_center)
         c_radius = jnp.where(better, radius, c_radius)
         c_mtype = jnp.where(better, scn.sph_mtype[k], c_mtype)
@@ -177,9 +181,11 @@ def nearest_hit(
             scn.rct_hw[k], scn.rct_hh[k],
         )
         better = t_k < t_best
+        better_i = better.astype(jnp.int32)
+        keep_i = 1 - better_i
         t_best = jnp.where(better, t_k, t_best)
-        is_sph = jnp.where(better, False, is_sph)
-        interior = jnp.where(better, False, interior)
+        is_sph = is_sph * keep_i
+        interior = interior * keep_i
         c_zb = V3.where(better, zb, c_zb)
         c_p = jnp.where(better, p_k, c_p)
         c_mtype = jnp.where(better, scn.rct_mtype[k], c_mtype)
@@ -187,7 +193,7 @@ def nearest_hit(
         c_rough = jnp.where(better, scn.rct_rough[k], c_rough)
         c_ior = jnp.where(better, scn.rct_ior[k], c_ior)
         c_emit = V3.where(better, row3(scn.rct_emitted, k), c_emit)
-        c_vgrid = jnp.where(better, -1, c_vgrid)
+        c_vgrid = c_vgrid * keep_i - better_i
 
     valid = jnp.isfinite(t_best)
     position = org + dir * t_best
@@ -203,16 +209,18 @@ def nearest_hit(
         jnp.where(s_front, FACE_FRONT, FACE_BACK),
     )
     # interior pseudo-hit: zero normal, VOLUME face (``sphere.rs:71-83``)
-    s_normal = V3.where(interior, V3.zeros(B), s_normal)
-    s_face = jnp.where(interior, FACE_VOLUME, s_face)
+    interior_b = interior != 0
+    s_normal = V3.where(interior_b, V3.zeros(B), s_normal)
+    s_face = jnp.where(interior_b, FACE_VOLUME, s_face)
 
     # rect manifold (``rect.rs:138-142``)
     r_front = c_p < 0.0
     r_normal = V3.where(r_front, c_zb, -c_zb)
     r_face = jnp.where(r_front, FACE_FRONT, FACE_BACK)
 
-    normal = V3.where(is_sph, s_normal, r_normal)
-    face = jnp.where(valid, jnp.where(is_sph, s_face, r_face), FACE_MISS)
+    is_sph_b = is_sph != 0
+    normal = V3.where(is_sph_b, s_normal, r_normal)
+    face = jnp.where(valid, jnp.where(is_sph_b, s_face, r_face), FACE_MISS)
 
     return Hit(
         t=t_best,
@@ -225,9 +233,9 @@ def nearest_hit(
         rough=c_rough,
         ior=c_ior,
         emitted=c_emit,
-        vol_grid=jnp.where(is_sph, c_vgrid, -1),
+        vol_grid=jnp.where(is_sph_b, c_vgrid, -1),
         vol_size=c_vsize,
-        sphere_row=jnp.where(is_sph & valid, srow, -1),
+        sphere_row=jnp.where(is_sph_b & valid, srow, -1),
         bbox_min=c_center - V3.splat(c_radius),
         bbox_size=V3.splat(2.0 * c_radius),
     )

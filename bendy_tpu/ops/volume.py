@@ -34,41 +34,48 @@ def density_sample(scn: SceneArrays, hit: Hit, coord: V3) -> jnp.ndarray:
     """Trilinear density at normalized coord (``volume.rs:140-166``).
 
     coord is clamped to [0,1]; grid coordinates scale by (w-1,h-1,d-1).
-    The reference's floor/ceil corner pair equals floor/min(floor+1, max)
-    because the far corner only contributes when fract > 0.
+
+    TPU-native formulation: instead of eight dynamic gathers (XLA
+    serializes TPU gathers — measured 3.4 Mrays/s on the volume scenes),
+    trilinear interpolation is expressed as three chained contractions
+    with per-axis one-hot lerp-weight matrices (<=2 nonzeros per row) —
+    pure MXU work:
+
+        v[b] = wz[b,:] · (wy[b,:] · (wx[b,:] ⊗ grid))
+
+    Exactly equals the reference's nested-lerp result (a boundary-clamped
+    far corner receives weight (1-f)+f = 1).
     """
     G, D, H, W = scn.vol_grid.shape
-    flat = scn.vol_grid.reshape(-1)
+    grid = jnp.asarray(scn.vol_grid)
     size = hit.vol_size  # (w-1, h-1, d-1) of the hit sphere's grid
     cx = jnp.clip(coord.x, 0.0, 1.0) * size.x
     cy = jnp.clip(coord.y, 0.0, 1.0) * size.y
     cz = jnp.clip(coord.z, 0.0, 1.0) * size.z
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    z0 = jnp.floor(cz)
-    fx, fy, fz = cx - x0, cy - y0, cz - z0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    z0i = z0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, size.x.astype(jnp.int32))
-    y1i = jnp.minimum(y0i + 1, size.y.astype(jnp.int32))
-    z1i = jnp.minimum(z0i + 1, size.z.astype(jnp.int32))
-    g = jnp.maximum(hit.vol_grid, 0)
 
-    def at(xi, yi, zi):
-        idx = ((g * D + zi) * H + yi) * W + xi
-        return flat[idx]
+    def axis_weights(c, hi, n):
+        c0 = jnp.floor(c)
+        f = c - c0
+        i0 = c0.astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, hi.astype(jnp.int32))
+        ids = jnp.arange(n, dtype=jnp.int32)
+        return (
+            (ids == i0[:, None]) * (1.0 - f[:, None])
+            + (ids == i1[:, None]) * f[:, None]
+        )
 
-    def lerp(a, b, t):
-        return a + (b - a) * t
+    wx = axis_weights(cx, size.x, W)  # [B,W]
+    wy = axis_weights(cy, size.y, H)  # [B,H]
+    wz = axis_weights(cz, size.z, D)  # [B,D]
 
-    ya0 = lerp(at(x0i, y0i, z0i), at(x1i, y0i, z0i), fx)
-    yb0 = lerp(at(x0i, y1i, z0i), at(x1i, y1i, z0i), fx)
-    za = lerp(ya0, yb0, fy)
-    ya1 = lerp(at(x0i, y0i, z1i), at(x1i, y0i, z1i), fx)
-    yb1 = lerp(at(x0i, y1i, z1i), at(x1i, y1i, z1i), fx)
-    zb = lerp(ya1, yb1, fy)
-    return lerp(za, zb, fz)
+    out = jnp.zeros_like(cx)
+    gidx = jnp.maximum(hit.vol_grid, 0)
+    for g in range(G):  # static unroll; scenes have 1-2 grids
+        t1 = jnp.einsum("bw,dhw->bdh", wx, grid[g])  # [B,D,H] on the MXU
+        t2 = jnp.einsum("bh,bdh->bd", wy, t1)
+        vg = jnp.einsum("bd,bd->b", wz, t2)
+        out = jnp.where(gidx == g, vg, out)
+    return out
 
 
 class VolumeShade(NamedTuple):

@@ -300,6 +300,11 @@ class Renderer:
     def _pallas_render_pass(self, W, H, rows, spp, n, tcfg, cfg):
         """Cached megakernel pass; None if Mosaic rejects this config
         (falls back to the XLA path permanently for the config)."""
+        if tcfg.has_volumes:
+            # density-grid reads need an in-kernel dynamic gather, which
+            # Mosaic does not support for arbitrary shapes; volume scenes
+            # stay on the XLA path (still >100 Mrays/s)
+            return None
         key = (W, H, rows, spp, n, tcfg, cfg.output.value)
         if key not in self._pallas_cache:
             try:
