@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a live preview (HTML+PNG+stats) on this port")
     p.add_argument("--max-bounces", type=int, default=None)
     p.add_argument("--volume-step", type=float, default=None)
+    p.add_argument("--mesh", default=None, metavar="TILESxSAMPLES",
+                   help="render across a device mesh, e.g. 4x2 (shard_map)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a JAX profiler trace of the render into DIR")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the TPU answer to debug-glam-assert)")
     return p
 
 
@@ -120,12 +126,27 @@ def main(argv=None) -> int:
         volume_step=args.volume_step,
     )
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
+    if args.mesh:
+        return render_sharded_oneshot(args, scene, camera, output, subsample)
+
     server = None
     if args.serve:
         from bendy_tpu.preview import PreviewServer
 
         server = PreviewServer(args.serve)
         print(f"live preview at http://localhost:{args.serve}/", file=sys.stderr)
+
+    profiler = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        profiler = args.profile
 
     start = time.time()
     sum_delta = 0.0
@@ -147,9 +168,44 @@ def main(argv=None) -> int:
         if args.checkpoint:
             film.save_checkpoint(args.checkpoint, seed=args.seed)
 
+    if profiler:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profiler}", file=sys.stderr)
+
     total = time.time() - start
     print(f"total t: {total:.2f}s; rays traced: {renderer.rays_traced:.0f}; "
           f"{renderer.rays_traced/max(total,1e-9)/1e6:.1f} Mrays/s", file=sys.stderr)
+    _write_png(args.screenshot, film)
+    return 0
+
+
+def render_sharded_oneshot(args, scene, camera, output, subsample) -> int:
+    """One-shot multi-device render over a ('tiles','samples') mesh."""
+    import time
+
+    from bendy_tpu.ops.pallas_trace import pack_camera  # noqa: F401 (import check)
+    from bendy_tpu.parallel.mesh import make_mesh, render_film_sharded
+
+    tiles, samples = (int(v) for v in args.mesh.lower().split("x"))
+    mesh = make_mesh(tiles, samples)
+    renderer = Renderer(scene, Config(output=output))
+    cam = renderer.camera_params(camera)
+    cfg = renderer.trace_config(renderer.config)
+    spp_local = max(1, args.samples // samples)
+    t0 = time.time()
+    sums, spp, rays = render_film_sharded(
+        renderer.arrays, cam, mesh, args.width, args.height,
+        spp_local, subsample.n, cfg, output.value, seed=args.seed,
+    )
+    film = Film(args.width, args.height, output.color_space())
+    import numpy as np
+
+    film.add_pass(np.asarray(sums), spp)
+    dt = time.time() - t0
+    print(f"mesh {tiles}x{samples}: {film.samples} spp in {dt:.2f}s; "
+          f"{rays/dt/1e6:.1f} Mrays/s", file=sys.stderr)
     _write_png(args.screenshot, film)
     return 0
 

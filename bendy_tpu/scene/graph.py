@@ -199,6 +199,44 @@ class DensityMap:
         """Return the buffer as a [depth, height, width] array."""
         return self.buffer.reshape(self.depth, self.height, self.width)
 
+    def index(self, x: int, y: int, z: int) -> float:
+        """Bounds-checked raw access (``volume.rs:119-134``)."""
+        if self.width == 0 or self.height == 0 or self.depth == 0:
+            return 0.0
+        assert 0 <= x < self.width and 0 <= y < self.height and 0 <= z < self.depth, \
+            "volume index out of bounds"
+        return float(self.buffer[z * self.height * self.width + y * self.width + x])
+
+    def sample(self, coord, mode: str = "trilinear") -> float:
+        """Host-side density lookup (``volume.rs:140-166``).
+
+        coord in [0,1]^3; mode 'nearest' or 'trilinear' (the reference's
+        ``SamplingMode``; its tracer always uses trilinear).
+        """
+        c = np.clip(np.asarray(coord, np.float64), 0.0, 1.0) * self.size
+        if mode == "nearest":
+            i = np.rint(c).astype(int)
+            return self.index(i[0], i[1], i[2])
+        if mode != "trilinear":
+            raise ValueError(f"unknown sampling mode {mode!r}")
+        lo = np.floor(c).astype(int)
+        hi = np.minimum(lo + 1, self.size.astype(int))
+        f = c - lo
+
+        def at(xi, yi, zi):
+            return self.index(xi, yi, zi)
+
+        def lerp(a, b, t):
+            return a + (b - a) * t
+
+        y0 = lerp(at(lo[0], lo[1], lo[2]), at(hi[0], lo[1], lo[2]), f[0])
+        y1 = lerp(at(lo[0], hi[1], lo[2]), at(hi[0], hi[1], lo[2]), f[0])
+        z0 = lerp(y0, y1, f[1])
+        y0 = lerp(at(lo[0], lo[1], hi[2]), at(hi[0], lo[1], hi[2]), f[0])
+        y1 = lerp(at(lo[0], hi[1], hi[2]), at(hi[0], hi[1], hi[2]), f[0])
+        z1 = lerp(y0, y1, f[1])
+        return float(lerp(z0, z1, f[2]))
+
 
 @dataclass
 class Data:
