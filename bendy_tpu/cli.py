@@ -185,7 +185,6 @@ def render_sharded_oneshot(args, scene, camera, output, subsample) -> int:
     """One-shot multi-device render over a ('tiles','samples') mesh."""
     import time
 
-    from bendy_tpu.ops.pallas_trace import pack_camera  # noqa: F401 (import check)
     from bendy_tpu.parallel.mesh import make_mesh, render_film_sharded
 
     tiles, samples = (int(v) for v in args.mesh.lower().split("x"))

@@ -10,8 +10,6 @@ geodesics dip below rs are captured by the integrator.
 
 from __future__ import annotations
 
-import numpy as np
-
 from bendy_tpu.scene.graph import (
     Camera,
     Data,

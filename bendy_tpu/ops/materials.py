@@ -70,8 +70,6 @@ def sample_light_point(scn: SceneArrays, light_idx: jnp.ndarray,
 
         nf = scn.light_face_cdf.shape[1]
         # first face whose cdf exceeds u_face
-        face_sel = [jnp.zeros(B, bool) for _ in range(nf)]
-        prev_cdf = jnp.zeros(B, u_a.dtype)
         remaining = jnp.ones(B, bool)
         p_rect = V3.zeros(B)
         for f in range(nf):
@@ -89,7 +87,6 @@ def sample_light_point(scn: SceneArrays, light_idx: jnp.ndarray,
                      scn.light_face_y[li, f, 2]) * y
             )
             p_rect = V3.where(pick, p_f, p_rect)
-            prev_cdf = cdf
 
         p_li = V3.where(scn.light_kind[li] == 0, p_sphere, p_rect)
         out = V3.where(sel, p_li, out)

@@ -31,7 +31,6 @@ objects or editing materials does not recompile.
 from __future__ import annotations
 
 from dataclasses import dataclass, fields
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
