@@ -1,0 +1,117 @@
+"""Wavefront integrator combination coverage.
+
+Exercises code-path products the scene-specific tests miss: geodesic ×
+volume march, geodesic env capture, AOV quirks of terminating paths.
+"""
+
+import numpy as np
+import pytest
+
+from bendy_tpu.film import Film
+from bendy_tpu.geodesic import GeoParams
+from bendy_tpu.render import Config, Output, Renderer, RenderConfig, Subsample
+from bendy_tpu.scene import (
+    Data,
+    DensityMap,
+    Material,
+    Object,
+    ObjectFlags,
+    Scene,
+    Sphere,
+)
+from bendy_tpu.scene.graph import Camera
+
+
+def lensed_cloud_scene(rs=0.5):
+    """A mass + a density-grid cloud sphere + a light behind both."""
+    scene = Scene()
+    env = scene.add_data(Data(Material.emissive((1, 1, 1), 0.05)))
+    scene.set_root_material(env)
+    scene.add_object(Object().with_tag(f"mass:{rs}"))
+    scene.add_object(
+        Object(Camera(focus=None)).with_tag("camera").with_translation([0, 0.5, 8.0])
+    )
+    vol = scene.add_data(Data(DensityMap.with_value(4, 4, 4, 3.0)))
+    mat = scene.add_data(Data(Material.diffuse((0.5, 0.5, 0.5), 1.0)))
+    scene.add_object(
+        Object(Sphere(material=mat, radius=1.0, volume=vol)).with_translation([2.0, 0, 0])
+    )
+    light = scene.add_data(Data(Material.emissive((1, 1, 0.8), 6.0)))
+    scene.add_object(
+        Object(Sphere(material=light, radius=1.0)).with_translation([0, 0, -15.0]).with_flags(
+            ObjectFlags.LIGHT
+        )
+    )
+    return scene
+
+
+def test_geodesic_plus_volume_renders():
+    scene = lensed_cloud_scene()
+    geo = GeoParams(eta=0.3, min_step=0.05, max_step=4.0, far=60.0, max_steps=96)
+    r = Renderer(scene, Config(max_bounces=2, geo=geo))
+    assert r.has_masses and r.has_volumes
+    cam = scene.find_by_tag("camera")
+    film = Film(12, 12)
+    r.render(cam, RenderConfig(samples=8, subsample=Subsample(1)), film, seed=2)
+    m = film.mean()
+    assert np.isfinite(m).all()
+    assert m.mean() > 0.01  # light + env reach the camera
+    assert m.max() > 0.5  # the (lensed) light is visible somewhere
+
+
+def test_capture_makes_shadow():
+    """Rays through the mass center are swallowed: with a bright uniform
+    env, the center pixel is darker than the corner."""
+    scene = Scene()
+    env = scene.add_data(Data(Material.emissive((1, 1, 1), 1.0)))
+    scene.set_root_material(env)
+    scene.add_object(Object().with_tag("mass:1.0"))
+    scene.add_object(
+        Object(Camera(focus=None)).with_tag("camera").with_translation([0, 0, 10.0])
+    )
+    # keep the light table non-degenerate
+    light = scene.add_data(Data(Material.emissive((1, 1, 1), 1.0)))
+    scene.add_object(
+        Object(Sphere(material=light, radius=0.1)).with_translation([0, 300, 0]).with_flags(
+            ObjectFlags.LIGHT
+        )
+    )
+    geo = GeoParams(eta=0.25, min_step=0.05, max_step=4.0, far=60.0, max_steps=128)
+    r = Renderer(scene, Config(max_bounces=1, geo=geo))
+    cam = scene.find_by_tag("camera")
+    film = Film(17, 17)
+    r.render(cam, RenderConfig(samples=4, subsample=Subsample(1)), film, seed=1)
+    m = film.mean().mean(-1)
+    assert m[8, 8] < 0.05  # shadow: captured by the horizon
+    assert m[0, 0] > 0.9  # corner sees the env
+
+
+def test_emissive_first_hit_aov_quirks():
+    """Reference ColorData::from_emitted: an emissive primary hit reports
+    albedo := emitted, normal := 0, depth := +inf -> normalized 1
+    (``ray.rs:57-65``, SURVEY quirk list)."""
+    scene = Scene()
+    mat = scene.add_data(Data(Material.emissive((0.25, 0.5, 1.0), 2.0)))
+    scene.add_object(
+        Object(Sphere(material=mat, radius=3.0)).with_translation([0, 0, -5]).with_flags(
+            ObjectFlags.LIGHT
+        )
+    )
+    scene.add_object(
+        Object(Camera(focus=None)).with_tag("camera").with_translation([0, 0, 5.0])
+    )
+    cam = scene.find_by_tag("camera")
+
+    imgs = {}
+    for out in (Output.ALBEDO, Output.NORMAL, Output.DEPTH):
+        r = Renderer(scene, Config(max_bounces=1, output=out))
+        film = Film(8, 8, out.color_space())
+        r.render(cam, RenderConfig(samples=2, subsample=Subsample(1)), film, seed=3)
+        imgs[out] = film.mean()
+
+    center = imgs[Output.ALBEDO][4, 4]
+    np.testing.assert_allclose(center, [0.5, 1.0, 2.0], atol=1e-5)  # emitted
+    np.testing.assert_allclose(imgs[Output.NORMAL][4, 4], 0.0, atol=1e-6)
+    np.testing.assert_allclose(imgs[Output.DEPTH][4, 4], 1.0, atol=1e-6)  # inf -> 1
+    # background pixels miss to the flat-black env: depth = clip_max -> ~1
+    np.testing.assert_allclose(imgs[Output.DEPTH][0, 0], 1.0, atol=1e-3)
