@@ -19,9 +19,12 @@ AOV quirks preserved: terminating lanes report ColorData::from_emitted
 scattering lanes report the hit's material albedo / shading normal / t.
 
 Every lane evaluates every branch; ``hit.mtype`` selects. The per-lane
-uniform list ``u`` is laid out as:
-    u0 light pick · u1 mix bernoulli · u2,u3 cosine/fuzz ·
-    u4,u5 light point · u6 cuboid face pick · u7 glass reflect bernoulli
+uniform list ``u`` is laid out as (6 slots = 3 threefry blocks/iteration):
+    u0 light pick, whose fraction u0·L mod 1 is an independent uniform
+       reused as the cuboid face pick ·
+    u1 mix bernoulli (diffuse) / reflect bernoulli (glass — disjoint
+       material, same slot) ·
+    u2,u3 cosine/fuzz · u4,u5 light point
 """
 
 from __future__ import annotations
@@ -112,9 +115,11 @@ def shade_surface(
 
     # --- diffuse: mixture of cosine BSDF and next-event light sampling ----
     nl = scn.n_lights
-    light_idx = jnp.clip((u[0] * nl).astype(jnp.int32), 0, nl - 1)
+    scaled = u[0] * nl
+    light_idx = jnp.clip(scaled.astype(jnp.int32), 0, nl - 1)
+    u_face = scaled - jnp.floor(scaled)  # independent uniform given the pick
     d_cos = distr.cosine_hemisphere(n, u[2], u[3])
-    lp = sample_light_point(scn, light_idx, u[4], u[5], u[6])
+    lp = sample_light_point(scn, light_idx, u[4], u[5], u_face)
     d_light = (lp - pos).normalize()
     # gen_bool(0.5) picks the light branch (``material.rs:269-274`` with x=0.5)
     pick_light = u[1] < 0.5
@@ -136,7 +141,7 @@ def shade_surface(
     cos_theta = jnp.minimum((-dir_in).dot(n), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     fr = dir_in.fresnel(n, ior_eff)
-    do_reflect = (ior_eff * sin_theta > 1.0) | (u[7] < fr)
+    do_reflect = (ior_eff * sin_theta > 1.0) | (u[1] < fr)
     d_glass_base = V3.where(do_reflect, dir_in.reflect(n), dir_in.refract(n, ior_eff))
     d_glass = (d_glass_base + fuzz * hit.rough).normalize()
 

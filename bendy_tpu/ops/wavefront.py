@@ -72,7 +72,7 @@ MODE_DEAD = 0
 MODE_SURFACE = 1
 MODE_MARCH = 2
 
-N_UNIFORMS = 8  # see ops.materials / ops.volume uniform layouts
+N_UNIFORMS = 6  # see ops.materials / ops.volume uniform layouts
 
 
 class TraceConfig(NamedTuple):
