@@ -141,3 +141,69 @@ def render_film_sharded(
         rays += float(r)
     spp = passes * spp_local * mesh.shape["samples"] * n * n
     return total, spp, rays
+
+
+def make_pallas_pass_sharded(
+    scn, mesh: Mesh, width: int, height: int, spp_local: int, subsample: int,
+    cfg: TraceConfig, output: str, block_rows: int = 32,
+):
+    """Sharded render pass running the Pallas megakernel per device.
+
+    Built outside jit (the kernel bakes the scene's host copy); returns
+    ``fn(cam_packed [1,32], seed, pass_idx) -> (sums [H,W,3] sharded over
+    'tiles', rays)``. Validated against the unsharded megakernel on a
+    (1,1) mesh; multi-chip runs use the same SPMD program.
+    """
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer
+
+    n = max(subsample, 1)
+    nn = n * n
+    n_tiles = mesh.shape["tiles"]
+    n_samp = mesh.shape["samples"]
+    if height % n_tiles:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tiles}")
+    rows_local = height // n_tiles
+    spp_total = spp_local * n_samp
+    tracer = make_pallas_tracer(
+        scn, width, height, spp_local, subsample, cfg,
+        spp_total=spp_total, block_rows=block_rows,
+    )
+
+    def shard_body(cam_packed, seed, pass_idx):
+        ti = jax.lax.axis_index("tiles")
+        si = jax.lax.axis_index("samples")
+        B = rows_local * width * nn
+        local = jnp.arange(B, dtype=jnp.uint32)
+        sub = local % jnp.uint32(nn)
+        y0 = jnp.asarray(ti, jnp.uint32) * jnp.uint32(rows_local)
+        pix = y0 * jnp.uint32(width) + local // jnp.uint32(nn)
+        sample0 = jnp.asarray(si, jnp.uint32) * jnp.uint32(spp_local)
+        res = tracer(cam_packed, seed, pass_idx, pix, sub, sample0=sample0)
+
+        if output == "full":
+            ch = res.radiance
+        elif output == "albedo":
+            ch = res.aov_albedo
+        elif output == "normal":
+            ch = res.aov_normal
+        elif output == "depth":
+            d = res.aov_depth
+            ch = V3(d, d, d)
+        else:
+            raise ValueError(f"unknown output {output!r}")
+        sums = jnp.stack(
+            [c.reshape(rows_local, width, nn).sum(axis=2) for c in (ch.x, ch.y, ch.z)],
+            axis=-1,
+        )
+        sums = jax.lax.psum(sums, "samples")
+        rays = jax.lax.psum(jax.lax.psum(res.rays, "samples"), "tiles")
+        return sums, rays
+
+    body = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("tiles", None, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(body)
