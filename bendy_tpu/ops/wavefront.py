@@ -215,7 +215,6 @@ def trace_core(
     zi = (pix >> jnp.uint32(31)).astype(jnp.int32)
     zf = zi.astype(jnp.float32)
     zv = V3(zf, zf, zf)
-    BA = B if cfg.want_aovs else ()  # AOV slots off -> 0-d scalars
     za = zf if cfg.want_aovs else jnp.float32(0.0)
     zav = zv if cfg.want_aovs else V3.zeros(())
     state = _State(

@@ -301,9 +301,11 @@ class Renderer:
         """Cached megakernel pass; None if Mosaic rejects this config
         (falls back to the XLA path permanently for the config)."""
         if tcfg.has_volumes:
-            # density-grid reads need an in-kernel dynamic gather, which
-            # Mosaic does not support for arbitrary shapes; volume scenes
-            # stay on the XLA path (still >100 Mrays/s)
+            # the megakernel bakes the scene as scalar constants, but a
+            # density grid is a real array: Pallas cannot capture array
+            # constants and Mosaic cannot gather from one passed as input.
+            # Volume scenes stay on the XLA path, where the trilinear
+            # lookup runs as MXU contractions (~100 Mrays/s).
             return None
         key = (W, H, rows, spp, n, tcfg, cfg.output.value)
         if key not in self._pallas_cache:
