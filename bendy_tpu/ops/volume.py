@@ -47,11 +47,47 @@ def density_sample(scn: SceneArrays, hit: Hit, coord: V3) -> jnp.ndarray:
     far corner receives weight (1-f)+f = 1).
     """
     G, D, H, W = scn.vol_grid.shape
-    grid = jnp.asarray(scn.vol_grid)
     size = hit.vol_size  # (w-1, h-1, d-1) of the hit sphere's grid
     cx = jnp.clip(coord.x, 0.0, 1.0) * size.x
     cy = jnp.clip(coord.y, 0.0, 1.0) * size.y
     cz = jnp.clip(coord.z, 0.0, 1.0) * size.z
+
+    import numpy as _np
+
+    if isinstance(scn.vol_grid, _np.ndarray):
+        # Pallas megakernel path: the grid arrives as a host constant that
+        # the kernel may not capture as an array. Unroll the contraction to
+        # *scalar* grid values, skipping zero cells (density grids are
+        # sparse) — the same math as the einsum form below, as pure fused
+        # [B] multiply-adds with no array constants and no gathers.
+        def axis_w_list(c, hi, n):
+            c0 = jnp.floor(c)
+            f = c - c0
+            i0 = c0.astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, hi.astype(jnp.int32))
+            return [(i == i0) * (1.0 - f) + (i == i1) * f for i in range(n)]
+
+        wx = axis_w_list(cx, size.x, W)
+        wy = axis_w_list(cy, size.y, H)
+        wz = axis_w_list(cz, size.z, D)
+        out = jnp.zeros_like(cx)
+        gidx = jnp.maximum(hit.vol_grid, 0)
+        for g in range(G):
+            acc = jnp.zeros_like(cx)
+            for d in range(D):
+                for h in range(H):
+                    row = None
+                    for w in range(W):
+                        a = float(scn.vol_grid[g, d, h, w])
+                        if a != 0.0:
+                            term = wx[w] * a
+                            row = term if row is None else row + term
+                    if row is not None:
+                        acc = acc + wz[d] * wy[h] * row
+            out = acc if G == 1 else jnp.where(gidx == g, acc, out)
+        return out
+
+    grid = jnp.asarray(scn.vol_grid)
 
     def axis_weights(c, hi, n):
         c0 = jnp.floor(c)

@@ -301,12 +301,14 @@ class Renderer:
         """Cached megakernel pass; None if Mosaic rejects this config
         (falls back to the XLA path permanently for the config)."""
         if tcfg.has_volumes:
-            # the megakernel bakes the scene as scalar constants, but a
-            # density grid is a real array: Pallas cannot capture array
-            # constants and Mosaic cannot gather from one passed as input.
-            # Volume scenes stay on the XLA path, where the trilinear
-            # lookup runs as MXU contractions (~100 Mrays/s).
-            return None
+            # In-kernel density lookup unrolls the trilinear contraction to
+            # scalar grid constants (Pallas can't capture array constants);
+            # cost scales with nonzero cells, so big grids stay on the XLA
+            # path where the lookup runs as MXU contractions.
+
+            grid = self.arrays.host_copy().vol_grid
+            if int((grid != 0).sum()) > 1024:
+                return None
         key = (W, H, rows, spp, n, tcfg, cfg.output.value)
         if key not in self._pallas_cache:
             try:
