@@ -77,11 +77,16 @@ def make_pallas_tracer(
     cfg: TraceConfig,
     spp_total: int | None = None,
     block_rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
 ):
     """Build the megakernel tracer for one compiled scene.
 
     Returns ``fn(cam_packed [1,32] f32, aux [1,8] u32, pix [B], sub [B])
     -> TraceSums``; aux = (key0, key1, sample0, ...).
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (plain XLA ops, any backend) — how CI covers this code path on the
+    CPU mesh without Mosaic.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -91,10 +96,16 @@ def make_pallas_tracer(
     def kernel(pix_ref, sub_ref, cam_ref, aux_ref, *outs):
         cam_vals = unpack_camera(cam_ref[:])
         key_vals = (aux_ref[0, 0], aux_ref[0, 1])
+        # lanes beyond the true batch (block padding) are masked inactive:
+        # they must not trace (wasted VPU work) nor count as rays
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
+        flat_id = (pl.program_id(0) * block_rows + row_ids) * LANE + lane_ids
+        active = flat_id < aux_ref[0, 3].astype(jnp.int32)
         res = trace_core(
             scn_host, cam_vals, key_vals, pix_ref[:], sub_ref[:],
             width, height, spp, subsample, cfg,
-            spp_total=spp_total, sample0=aux_ref[0, 2],
+            spp_total=spp_total, sample0=aux_ref[0, 2], active=active,
         )
         vals = [
             res.radiance.x, res.radiance.y, res.radiance.z,
@@ -117,8 +128,8 @@ def make_pallas_tracer(
         from bendy_tpu.utils.rng import render_key
 
         key = render_key(jnp.asarray(seed, jnp.uint32), jnp.asarray(pass_idx, jnp.uint32))
-        aux = pack_aux(key, sample0)
         B = pix.shape[0]
+        aux = pack_aux(key, sample0, n_valid=B)
         block = block_rows * LANE
         pad = (-B) % block
         if pad:
@@ -135,6 +146,7 @@ def make_pallas_tracer(
             + [pl.BlockSpec((8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)],
             out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)] * N_OUT
             + [jax.ShapeDtypeStruct((grid * 8, LANE), jnp.float32)],
+            interpret=interpret,
         )(pix.reshape(rows_total, LANE), sub.reshape(rows_total, LANE), cam_packed, aux)
 
         flat = [o.reshape(-1)[:B] for o in outs[:N_OUT]]
@@ -149,15 +161,16 @@ def make_pallas_tracer(
     return run
 
 
-def pack_aux(key: tuple, sample0=0) -> jnp.ndarray:
+def pack_aux(key: tuple, sample0=0, n_valid=0) -> jnp.ndarray:
     k0, k1 = key
     return jnp.stack(
         [
             jnp.asarray(k0, jnp.uint32),
             jnp.asarray(k1, jnp.uint32),
             jnp.asarray(sample0, jnp.uint32),
+            jnp.asarray(n_valid, jnp.uint32),
         ]
-        + [jnp.uint32(0)] * 5
+        + [jnp.uint32(0)] * 4
     ).reshape(1, 8)
 
 
@@ -171,13 +184,14 @@ def make_pallas_render_pass(
     cfg: TraceConfig,
     output: str,
     block_rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
 ):
     """Megakernel equivalent of ``render.render_pass``: returns
     ``fn(cam_packed, seed, pass_idx, y_offset) -> (sums [rows,W,3], rays)``."""
     n = max(subsample, 1)
     nn = n * n
     tracer = make_pallas_tracer(scn, width, height, spp, subsample, cfg,
-                                block_rows=block_rows)
+                                block_rows=block_rows, interpret=interpret)
 
     @jax.jit
     def run(cam_packed, seed, pass_idx, y_offset):

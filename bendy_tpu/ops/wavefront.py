@@ -173,12 +173,19 @@ def trace_core(
     cfg: TraceConfig,
     spp_total: int | None = None,
     sample0=0,
+    active=None,
 ) -> TraceSums:
     """Trace spp samples for every (pixel, subpixel) lane; return sums.
 
     ``spp_total``/``sample0`` let a sample-sharded mesh assign each device
     the slice [sample0, sample0+spp) of a global spp_total while keeping
     globally unique RNG stream ids.
+
+    ``active`` ([B] mask, optional) marks real lanes; padding lanes (the
+    megakernel rounds B up to its block size) start with their sample
+    budget exhausted — they never trace, never count rays, and return
+    zeros. Applied only to the carry *init* (an in-loop capture of a
+    loop-invariant vector would trip Mosaic layout inference).
     """
     B = pix.shape
     n = max(subsample, 1)
@@ -217,10 +224,17 @@ def trace_core(
     zv = V3(zf, zf, zf)
     za = zf if cfg.want_aovs else jnp.float32(0.0)
     zav = zv if cfg.want_aovs else V3.zeros(())
+    if active is None:
+        sample_init = zi - 1
+    else:
+        # inactive lanes start at sample spp-1: `sample + 1 < spp` is
+        # False, so they never regenerate, stay MODE_DEAD, and add nothing
+        # to the accumulators or the ray count
+        sample_init = zi - 1 + (1 - active.astype(jnp.int32)) * spp
     state = _State(
         it=jnp.uint32(0),
         n_pending=jnp.int32(1),
-        sample=zi - 1,
+        sample=sample_init,
         path_step=zi,
         path_open=zi,  # int32 mask: Mosaic can't carry i1
         org=zv,

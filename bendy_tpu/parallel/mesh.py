@@ -145,7 +145,7 @@ def render_film_sharded(
 
 def make_pallas_pass_sharded(
     scn, mesh: Mesh, width: int, height: int, spp_local: int, subsample: int,
-    cfg: TraceConfig, output: str, block_rows: int = 32,
+    cfg: TraceConfig, output: str, block_rows: int = 32, interpret: bool = False,
 ):
     """Sharded render pass running the Pallas megakernel per device.
 
@@ -166,7 +166,7 @@ def make_pallas_pass_sharded(
     spp_total = spp_local * n_samp
     tracer = make_pallas_tracer(
         scn, width, height, spp_local, subsample, cfg,
-        spp_total=spp_total, block_rows=block_rows,
+        spp_total=spp_total, block_rows=block_rows, interpret=interpret,
     )
 
     def shard_body(cam_packed, seed, pass_idx):

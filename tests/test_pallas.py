@@ -1,0 +1,175 @@
+"""Pallas megakernel parity tests (interpret mode, CPU).
+
+The megakernel (ops/pallas_trace.py) is the code path behind every
+headline TPU number; these tests run the SAME kernel through the Pallas
+interpreter on the CPU mesh and assert it matches the XLA wavefront
+(`ops.wavefront.trace`) lane for lane.
+
+Coverage notes:
+- the volume scene exercises the *scalar-unrolled* trilinear branch
+  (ops/volume.py takes it whenever the grid arrives as a numpy constant,
+  exactly as inside the kernel) against the XLA einsum branch,
+- the geodesic scene covers the RK4 chord-stepping propagation in-kernel,
+- the sharded variant covers make_pallas_pass_sharded on the 8-device
+  mesh vs the XLA sharded pass.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bendy_tpu.ops.pallas_trace import make_pallas_render_pass, make_pallas_tracer, pack_camera
+from bendy_tpu.ops.wavefront import trace
+from bendy_tpu.render import Config, Renderer, render_pass
+from bendy_tpu.scene import load_scene
+from bendy_tpu.utils.rng import render_key
+
+
+def _setup(scene_name: str, config: Config, width: int, height: int):
+    scene = load_scene(f"scenes/{scene_name}.json.gz")
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = width / height
+    r = Renderer(scene, config, use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)
+    return r, cam, cfg
+
+
+def _lanes(width: int, height: int, nn: int = 1):
+    B = width * height * nn
+    local = jnp.arange(B, dtype=jnp.uint32)
+    return local // jnp.uint32(nn), local % jnp.uint32(nn)
+
+
+def _block_rows(width, height, nn=1):
+    rows = width * height * nn // 128
+    assert rows * 128 == width * height * nn
+    return rows
+
+
+@pytest.mark.parametrize(
+    "scene_name,cfg_kwargs",
+    [("cornell", dict(max_bounces=3)), ("scene", dict(max_bounces=3))],
+)
+def test_megakernel_matches_xla(scene_name, cfg_kwargs):
+    W = H = 16
+    spp = 4
+    r, cam, cfg = _setup(scene_name, Config(**cfg_kwargs), W, H)
+    pix, sub = _lanes(W, H)
+    key = render_key(jnp.uint32(7), jnp.uint32(0))
+
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(
+        r.arrays, W, H, spp, 1, cfg, block_rows=_block_rows(W, H), interpret=True
+    )
+    pal = kern(pack_camera(cam), jnp.uint32(7), jnp.uint32(0), pix, sub)
+
+    for ch in ("x", "y", "z"):
+        # not bit-equal: the kernel computes on [rows,128] blocks, the XLA
+        # path on flat [B]; CPU fma/reassociation differs at ~1e-4 relative
+        np.testing.assert_allclose(
+            np.asarray(getattr(pal.radiance, ch)),
+            np.asarray(getattr(xla.radiance, ch)),
+            rtol=5e-4, atol=1e-5,
+        )
+    assert float(pal.rays) == pytest.approx(float(xla.rays))
+
+
+def test_megakernel_volume_scene_scalar_unroll():
+    """Kernel path (scalar-unrolled trilinear) == XLA path (MXU einsum)."""
+    W = H = 16
+    spp = 2
+    r, cam, cfg = _setup("volume", Config(max_bounces=3), W, H)
+    assert cfg.has_volumes
+    pix, sub = _lanes(W, H)
+    key = render_key(jnp.uint32(11), jnp.uint32(0))
+
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(
+        r.arrays, W, H, spp, 1, cfg, block_rows=_block_rows(W, H), interpret=True
+    )
+    pal = kern(pack_camera(cam), jnp.uint32(11), jnp.uint32(0), pix, sub)
+    for ch in ("x", "y", "z"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(pal.radiance, ch)),
+            np.asarray(getattr(xla.radiance, ch)),
+            rtol=5e-4, atol=1e-5,
+        )
+
+
+def test_megakernel_geodesic_scene():
+    """RK4 chord-stepped propagation inside the kernel == XLA."""
+    W = H = 16
+    spp = 1
+    r, cam, cfg = _setup("blackhole", Config(max_bounces=2), W, H)
+    assert cfg.geodesic
+    pix, sub = _lanes(W, H)
+    key = render_key(jnp.uint32(3), jnp.uint32(0))
+
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(
+        r.arrays, W, H, spp, 1, cfg, block_rows=_block_rows(W, H), interpret=True
+    )
+    pal = kern(pack_camera(cam), jnp.uint32(3), jnp.uint32(0), pix, sub)
+    for ch in ("x", "y", "z"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(pal.radiance, ch)),
+            np.asarray(getattr(xla.radiance, ch)),
+            rtol=5e-4, atol=1e-5,
+        )
+
+
+@pytest.mark.parametrize("output", ["albedo", "normal", "depth"])
+def test_megakernel_render_pass_aov_channels(output):
+    """make_pallas_render_pass AOV sums == render.render_pass."""
+    W = H = 16
+    spp = 2
+    from bendy_tpu.render import Output
+
+    r, cam, _ = _setup("cornell", Config(max_bounces=2, output=Output(output)), W, H)
+    cfg = r.trace_config(r.config)
+    assert cfg.want_aovs
+
+    xla_sums, _ = render_pass(
+        r.arrays, cam, jnp.uint32(5), jnp.uint32(0), jnp.int32(0),
+        W, H, H, spp, 1, cfg, output,
+    )
+    pal_fn = make_pallas_render_pass(
+        r.arrays, W, H, H, spp, 1, cfg, output,
+        block_rows=_block_rows(W, H), interpret=True,
+    )
+    pal_sums, _ = pal_fn(pack_camera(cam), jnp.uint32(5), jnp.uint32(0), jnp.uint32(0))
+    np.testing.assert_allclose(
+        np.asarray(pal_sums), np.asarray(xla_sums), rtol=5e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("tiles,samples", [(4, 2), (8, 1)])
+def test_megakernel_sharded_matches_xla_sharded(tiles, samples):
+    """Sharded megakernel pass on the 8-device mesh == XLA sharded pass."""
+    from bendy_tpu.parallel.mesh import (
+        make_mesh,
+        make_pallas_pass_sharded,
+        render_pass_sharded,
+    )
+
+    W = H = 16
+    spp_total = 2 * samples
+    r, cam, cfg = _setup("cornell", Config(max_bounces=2), W, H)
+    mesh = make_mesh(tiles, samples)
+
+    xla_sums, xla_rays = render_pass_sharded(
+        r.arrays, cam, jnp.uint32(9), jnp.uint32(0), mesh,
+        W, H, spp_total // samples, 1, cfg, "full",
+    )
+    # per-shard lanes (rows_local*W = 64 or 32) are under one 128-lane row;
+    # the tracer pads them up to the block — also covers the padding path
+    pal_fn = make_pallas_pass_sharded(
+        r.arrays, mesh, W, H, spp_total // samples, 1, cfg, "full",
+        block_rows=1, interpret=True,
+    )
+    pal_sums, pal_rays = pal_fn(pack_camera(cam), jnp.uint32(9), jnp.uint32(0))
+    np.testing.assert_allclose(
+        np.asarray(pal_sums), np.asarray(xla_sums), rtol=5e-4, atol=1e-5
+    )
+    assert float(pal_rays) == pytest.approx(float(xla_rays))
