@@ -150,7 +150,8 @@ def main(argv=None) -> int:
 
     start = time.time()
     sum_delta = 0.0
-    while film.samples < max_samples:
+    stopped = False
+    while film.samples < max_samples and not stopped:
         t0 = time.time()
         renderer.render(camera, rc, film, seed=args.seed)
         delta = time.time() - t0
@@ -163,6 +164,10 @@ def main(argv=None) -> int:
         )
         if server is not None:
             server.publish(film, mrays=round(renderer.rays_traced / max(sum_delta, 1e-9) / 1e6, 1))
+            for name, cargs in server.drain_commands():
+                scene, renderer, camera, stopped = handle_command(
+                    name, cargs, args, scene, renderer, camera, film
+                )
         if args.preview_every and film.passes % args.preview_every == 0:
             _write_png(args.screenshot, film)
         if args.checkpoint:
@@ -179,6 +184,45 @@ def main(argv=None) -> int:
           f"{renderer.rays_traced/max(total,1e-9)/1e6:.1f} Mrays/s", file=sys.stderr)
     _write_png(args.screenshot, film)
     return 0
+
+
+def handle_command(name, cargs, args, scene, renderer, camera, film):
+    """Apply one runtime control command (the reference's live-loop hotkeys,
+    ``src/main.rs:275-348``, received over HTTP between passes).
+
+    Returns the possibly-replaced (scene, renderer, camera, stopped).
+    """
+    stopped = False
+    if name == "screenshot":  # Ctrl+P (main.rs:275-298)
+        _write_png(args.screenshot, film)
+    elif name == "save-scene":  # Ctrl+K (main.rs:299-313)
+        path = cargs.get("path") or args.save_scene or args.scene
+        save_scene(path, scene)
+        print(f"saved scene to {path}", file=sys.stderr)
+    elif name == "reload-scene":  # Ctrl+L: reload + clear film (main.rs:314-335)
+        if not os.path.exists(args.scene):
+            print(f"reload failed: {args.scene} missing", file=sys.stderr)
+            return scene, renderer, camera, stopped
+        scene = load_scene(args.scene)
+        camera = scene.find_by_tag("camera")
+        scene.get_object(camera).as_camera().aspect_ratio = film.width / film.height
+        renderer = Renderer(scene, renderer.config)
+        film.clear()
+        print(f"reloaded scene from {args.scene}; film cleared", file=sys.stderr)
+    elif name == "resize":  # window resize (main.rs:337-348)
+        w = int(cargs.get("width", film.width))
+        h = int(cargs.get("height", film.height))
+        film.resize(w, h)
+        scene.get_object(camera).as_camera().aspect_ratio = w / h
+        print(f"resized film to {w}x{h}; film cleared", file=sys.stderr)
+    elif name == "checkpoint":
+        path = cargs.get("path") or args.checkpoint or "film_checkpoint.npz"
+        film.save_checkpoint(path, seed=args.seed)
+        print(f"checkpoint written to {path}", file=sys.stderr)
+    elif name == "stop":
+        stopped = True
+        print("stop requested; finishing up", file=sys.stderr)
+    return scene, renderer, camera, stopped
 
 
 def render_sharded_oneshot(args, scene, camera, output, subsample) -> int:

@@ -20,7 +20,9 @@ import numpy as np
 from bendy_tpu.scene.compiler import SceneArrays
 
 _SPH_STRIDE = 18
-_RCT_STRIDE = 24
+_RCT_STRIDE = 32  # 0:3 center, 3:6 inv-T x, 6:9 inv-T y, 9:12 unit normal,
+#   12 hw, 13 hh, 14 mtype, 15:18 albedo, 18 rough, 19 ior, 20:23 emitted,
+#   24:27 forward x (M·x̂), 27:30 forward y — affine-aware light sampling
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _LIB_PATH = os.path.join(_REPO, "native", "liboracle.so")
@@ -88,6 +90,8 @@ def pack_scene(scn: SceneArrays):
         rct[:nr, 18] = np.asarray(scn.rct_rough)
         rct[:nr, 19] = np.asarray(scn.rct_ior)
         rct[:nr, 20:23] = np.asarray(scn.rct_emitted)
+        rct[:nr, 24:27] = np.asarray(scn.rct_fx)
+        rct[:nr, 27:30] = np.asarray(scn.rct_fy)
 
     kinds = np.asarray(scn.light_kind, np.int32)
     srows = np.asarray(scn.light_sph_row, np.int32)

@@ -278,10 +278,12 @@ def light_pdf(
                 org, dir, cmin, cmax,
                 V3(scn.light_face_center[li, f, 0], scn.light_face_center[li, f, 1],
                    scn.light_face_center[li, f, 2]),
-                V3(scn.light_face_x[li, f, 0], scn.light_face_x[li, f, 1],
-                   scn.light_face_x[li, f, 2]),
-                V3(scn.light_face_y[li, f, 0], scn.light_face_y[li, f, 1],
-                   scn.light_face_y[li, f, 2]),
+                # containment bases are the inverse-transposed ones (exact
+                # under any affine; equal to the forward bases when rigid)
+                V3(scn.light_face_ux[li, f, 0], scn.light_face_ux[li, f, 1],
+                   scn.light_face_ux[li, f, 2]),
+                V3(scn.light_face_uy[li, f, 0], scn.light_face_uy[li, f, 1],
+                   scn.light_face_uy[li, f, 2]),
                 zb,
                 scn.light_face_hw[li, f],
                 scn.light_face_hh[li, f],
@@ -290,9 +292,9 @@ def light_pdf(
             better = t_f < t_b
             t_b = jnp.where(better, t_f, t_b)
             q_b = jnp.where(better, dir.dot(zb), q_b)
-            area_b = jnp.where(
-                better, 4.0 * scn.light_face_hw[li, f] * scn.light_face_hh[li, f], area_b
-            )
+            # world-space face area: the correct density for random_point
+            # under any affine (equals 4·hw·hh when the transform is rigid)
+            area_b = jnp.where(better, scn.light_face_area[li, f], area_b)
         # shadow = area·|d·n| with the *oriented* normal; |.| makes the
         # orientation irrelevant (``rect.rs:101``)
         pdf_rect = jnp.where(jnp.isfinite(t_b), t_b * t_b / (area_b * jnp.abs(q_b)), 0.0)

@@ -30,10 +30,14 @@ from bendy_tpu.scene.compiler import SceneArrays
 from bendy_tpu.utils.v3 import V3
 
 
-def density_sample(scn: SceneArrays, hit: Hit, coord: V3) -> jnp.ndarray:
-    """Trilinear density at normalized coord (``volume.rs:140-166``).
+def density_sample(scn: SceneArrays, hit: Hit, coord: V3, nearest: bool = False) -> jnp.ndarray:
+    """Density at normalized coord (``volume.rs:140-166``).
 
     coord is clamped to [0,1]; grid coordinates scale by (w-1,h-1,d-1).
+    ``nearest=True`` selects ``SamplingMode::Nearest`` (``volume.rs:146-150``:
+    Rust ``f32::round`` = half away from zero, here floor(c+0.5) since
+    coords are non-negative); default is Trilinear, the mode the
+    reference tracer always passes (``volume.rs:36``).
 
     TPU-native formulation: instead of eight dynamic gathers (XLA
     serializes TPU gathers — measured 3.4 Mrays/s on the volume scenes),
@@ -61,6 +65,9 @@ def density_sample(scn: SceneArrays, hit: Hit, coord: V3) -> jnp.ndarray:
         # sparse) — the same math as the einsum form below, as pure fused
         # [B] multiply-adds with no array constants and no gathers.
         def axis_w_list(c, hi, n):
+            if nearest:
+                i_n = jnp.floor(c + 0.5).astype(jnp.int32)
+                return [(i == i_n) * 1.0 for i in range(n)]
             c0 = jnp.floor(c)
             f = c - c0
             i0 = c0.astype(jnp.int32)
@@ -90,11 +97,14 @@ def density_sample(scn: SceneArrays, hit: Hit, coord: V3) -> jnp.ndarray:
     grid = jnp.asarray(scn.vol_grid)
 
     def axis_weights(c, hi, n):
+        ids = jnp.arange(n, dtype=jnp.int32)
+        if nearest:
+            i_n = jnp.floor(c + 0.5).astype(jnp.int32)
+            return (ids == i_n[:, None]) * 1.0
         c0 = jnp.floor(c)
         f = c - c0
         i0 = c0.astype(jnp.int32)
         i1 = jnp.minimum(i0 + 1, hi.astype(jnp.int32))
-        ids = jnp.arange(n, dtype=jnp.int32)
         return (
             (ids == i0[:, None]) * (1.0 - f[:, None])
             + (ids == i1[:, None]) * f[:, None]
@@ -127,10 +137,11 @@ def volume_shade(
     scn: SceneArrays,
     u: Sequence[jnp.ndarray],
     step: float,
+    nearest: bool = False,
 ) -> VolumeShade:
     """One probabilistic scattering decision at a volume event."""
     coord = (hit.position - hit.bbox_min) / hit.bbox_size
-    density = step * density_sample(scn, hit, coord)
+    density = step * density_sample(scn, hit, coord, nearest=nearest)
     scattered = u[0] < density  # covers density >= 1 too (``volume.rs:38``)
 
     # interior events jitter the origin up to one step backwards (``volume.rs:40-42``)

@@ -84,6 +84,8 @@ class TraceConfig(NamedTuple):
     clip_max: float = 1000.0
     volume_step: float = 0.1
     has_volumes: bool = False  # static: volume branch compiled only when needed
+    vol_nearest: bool = False  # static: SamplingMode::Nearest density lookups
+    #   (``volume.rs:146-150``); default Trilinear like the reference tracer
     geodesic: bool = False  # static: curved-ray propagation (scene has masses)
     geo: "GeoParams" = None  # type: ignore[assignment]
     want_aovs: bool = True  # static: False drops the whole AOV pipeline from
@@ -383,7 +385,8 @@ def trace_core(
 
         if cfg.has_volumes:
             vol = alive & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
-            vs = volume_shade(trace_dir, hit, scn, u, cfg.volume_step)
+            vs = volume_shade(trace_dir, hit, scn, u, cfg.volume_step,
+                              nearest=cfg.vol_nearest)
             thr = V3.where(vol & vs.scattered, thr * vs.weight, thr)
             new_org = V3.where(vol, vs.origin, new_org)
             new_dir = V3.where(vol, vs.direction, new_dir)

@@ -34,10 +34,22 @@ def initialize(
     """``jax.distributed.initialize`` with env-var fallback.
 
     On Cloud TPU pods the arguments auto-detect from the metadata server;
-    pass them explicitly elsewhere.
+    pass them explicitly elsewhere. Must run before any backend
+    initialization (first ``jax.devices()`` / first traced computation).
+
+    On the CPU platform, multi-process execution additionally needs a
+    cross-process collectives backend — without it every process sees
+    only itself (``process_count() == 1``) and the mesh silently shrinks.
     """
+    import os
+
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # plugin sitecustomize hooks can override the env var at interpreter
+        # start; an explicit config update after import always wins
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
@@ -46,7 +58,12 @@ def initialize(
 
 
 def film_to_host0(sums):
-    """Gather a ('tiles',)-sharded film onto process 0 as numpy."""
+    """Gather a ('tiles',)-sharded film to every process as numpy.
+
+    ``tiled=True``: the film rows are shards of ONE global image — gather
+    concatenates along the existing (row) axis instead of stacking a new
+    per-process axis (required for non-fully-addressable arrays).
+    """
     from jax.experimental import multihost_utils
 
-    return multihost_utils.process_allgather(sums)
+    return multihost_utils.process_allgather(sums, tiled=True)

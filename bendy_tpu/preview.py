@@ -1,16 +1,26 @@
-"""Live render preview over HTTP (the headless answer to minifb).
+"""Live render preview + runtime control over HTTP (the headless minifb).
 
-The reference opens a minifb window and blits the progressive film every
-frame (``src/main.rs:79-89,262-267``). A TPU render node has no display,
-so the interactive equivalent is a tiny zero-dependency HTTP server:
+The reference opens a minifb window, blits the progressive film every
+frame, and handles hotkeys on the live render: Ctrl+P screenshot,
+Ctrl+K scene save, Ctrl+L scene reload + film clear, window resize
+(``src/main.rs:262-348``). A TPU render node has no display or keyboard,
+so the equivalent is a tiny zero-dependency HTTP server:
 
-    GET /          auto-refreshing HTML page with the preview + telemetry
-    GET /frame.png latest tonemapped film
-    GET /stats     render telemetry as JSON (the title-bar stats,
-                   ``src/main.rs:352-388``)
+    GET  /             auto-refreshing HTML page with preview + telemetry
+    GET  /frame.png    latest tonemapped film
+    GET  /stats        render telemetry as JSON (the title-bar stats,
+                       ``src/main.rs:352-388``)
+    POST /screenshot   write the PNG now                (Ctrl+P, main.rs:275-298)
+    POST /save-scene   serialize the live scene         (Ctrl+K, main.rs:299-313)
+    POST /reload-scene reload scene file + clear film   (Ctrl+L, main.rs:314-335)
+    POST /resize?width=W&height=H   resize film + camera aspect
+                                                        (main.rs:337-348)
+    POST /checkpoint   persist the raw film checkpoint now
+    POST /stop         finish the current pass and exit cleanly
 
-The CLI enables it with ``--serve PORT``; the render loop publishes each
-pass with :meth:`PreviewServer.publish`.
+POSTs enqueue commands; the render loop drains them between passes (the
+reference polls keys once per frame, ``main.rs:245-274`` — same cadence).
+The CLI enables it all with ``--serve PORT``.
 """
 
 from __future__ import annotations
@@ -18,22 +28,36 @@ from __future__ import annotations
 import io
 import json
 import threading
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 _PAGE = b"""<!doctype html>
 <html><head><title>bendy-tpu</title>
 <style>body{background:#111;color:#ccc;font-family:monospace;text-align:center}
-img{image-rendering:pixelated;margin-top:1em;max-width:90vw}</style>
+img{image-rendering:pixelated;margin-top:1em;max-width:90vw}
+button{background:#222;color:#ccc;border:1px solid #555;margin:0 .2em;padding:.3em .8em}</style>
 <script>
 async function tick(){
   const s = await (await fetch('/stats')).json();
   document.getElementById('s').textContent = JSON.stringify(s);
   document.getElementById('f').src = '/frame.png?' + s.passes;
 }
+async function cmd(c){ await fetch('/' + c, {method:'POST'}); }
 setInterval(tick, 1000); window.onload = tick;
 </script></head>
-<body><h3>bendy-tpu live preview</h3><div id=s></div><img id=f src=/frame.png></body></html>
+<body><h3>bendy-tpu live preview</h3><div id=s></div>
+<div style="margin-top:.5em">
+<button onclick="cmd('screenshot')">screenshot</button>
+<button onclick="cmd('save-scene')">save scene</button>
+<button onclick="cmd('reload-scene')">reload scene</button>
+<button onclick="cmd('checkpoint')">checkpoint</button>
+<button onclick="cmd('stop')">stop</button>
+</div>
+<img id=f src=/frame.png></body></html>
 """
+
+_COMMANDS = ("screenshot", "save-scene", "reload-scene", "checkpoint", "stop", "resize")
 
 
 class PreviewServer:
@@ -41,11 +65,19 @@ class PreviewServer:
         self._lock = threading.Lock()
         self._png = b""
         self._stats = {}
+        self._commands: deque = deque()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # silence request logging
                 pass
+
+            def _reply(self, body, ctype, code=200):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def do_GET(self):
                 if self.path.startswith("/frame.png"):
@@ -57,16 +89,24 @@ class PreviewServer:
                     ctype = "application/json"
                 else:
                     body, ctype = _PAGE, "text/html"
-                self.send_response(200)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._reply(body, ctype)
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                name = url.path.lstrip("/")
+                if name not in _COMMANDS:
+                    self._reply(b'{"error": "unknown command"}',
+                                "application/json", 404)
+                    return
+                args = {k: v[0] for k, v in parse_qs(url.query).items()}
+                with server._lock:
+                    server._commands.append((name, args))
+                self._reply(b'{"queued": true}', "application/json")
 
         self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
-        self.port = port
+        self.port = self._httpd.server_address[1]  # resolved when port=0
 
     def publish(self, film, **stats) -> None:
         """Publish the film's current preview + telemetry."""
@@ -77,6 +117,17 @@ class PreviewServer:
         with self._lock:
             self._png = buf.getvalue()
             self._stats = {"samples": film.samples, "passes": film.passes, **stats}
+
+    def drain_commands(self) -> list[tuple[str, dict]]:
+        """Pop all queued control commands ((name, args) pairs, FIFO).
+
+        Called by the render loop between passes — the same cadence at
+        which the reference polls its hotkeys (``main.rs:245-274``).
+        """
+        with self._lock:
+            out = list(self._commands)
+            self._commands.clear()
+        return out
 
     def close(self) -> None:
         self._httpd.shutdown()

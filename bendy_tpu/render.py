@@ -72,6 +72,9 @@ class Config:
     clip_min: float = 0.01
     clip_max: float = 1000.0
     volume_step: float = 0.1
+    vol_sampling: str = "trilinear"  # 'trilinear' | 'nearest'
+    #   (``SamplingMode``, volume.rs:12-18; the reference tracer always
+    #   passes Trilinear, volume.rs:36)
     output: Output = Output.FULL
     geo: "GeoParams" = None  # type: ignore[assignment]
 
@@ -209,12 +212,15 @@ class Renderer:
         )
 
     def trace_config(self, cfg: Config) -> TraceConfig:
+        if cfg.vol_sampling not in ("trilinear", "nearest"):
+            raise ValueError(f"unknown vol_sampling {cfg.vol_sampling!r}")
         return TraceConfig(
             max_bounces=cfg.max_bounces,
             max_volume_bounces=cfg.max_volume_bounces,
             clip_min=cfg.clip_min,
             clip_max=cfg.clip_max,
             volume_step=cfg.volume_step,
+            vol_nearest=cfg.vol_sampling == "nearest",
             has_volumes=self.has_volumes,
             geodesic=self.has_masses,
             geo=cfg.geo,

@@ -12,9 +12,14 @@ To make that possible the compiler bakes everything per primitive:
 
 - cuboids decompose into their six world-space rect faces, exactly
   mirroring the reference's own representation
-  (``src/scene/object/cuboid.rs:19-30``); rect bases are pre-rotated into
-  world space (hit-time rotation in the reference, ``rect.rs:119``; scene
-  transforms are rigid so pre-rotating is exact),
+  (``src/scene/object/cuboid.rs:19-30``); each face bakes the *full
+  affine* at compile time — plane normal, inverse-transposed containment
+  bases and forward sampling bases — so scaled/sheared transforms are
+  honored (the reference applies the affine at hit time,
+  ``rect.rs:119-134``; see ``add_rect`` for the exact algebra and the
+  two documented divergences). Spheres take only the transform's
+  translation, exactly like the reference (``sphere.rs:121-148`` receives
+  ``transform.translation`` — a sphere's linear part is ignored),
 - each primitive carries its material's parameters inline (type code,
   albedo, roughness, ior, emitted),
 - each volume sphere carries its density grid's index and dimensions,
@@ -97,9 +102,14 @@ class SceneArrays:
 
     # rects: geometry + inline material
     rct_center: jnp.ndarray  # [Nr,3] world face center
-    rct_x: jnp.ndarray  # [Nr,3] world unit basis
+    rct_x: jnp.ndarray  # [Nr,3] inverse-transposed local basis (M^-T x̂):
+    #   containment is (p-c)·rct_x in [-hw,hw] — exact under any affine,
+    #   and equal to the world basis when the transform is rigid
     rct_y: jnp.ndarray  # [Nr,3]
-    rct_z: jnp.ndarray  # [Nr,3] world unit normal
+    rct_z: jnp.ndarray  # [Nr,3] world unit face normal (∝ fx × fy)
+    rct_fx: jnp.ndarray  # [Nr,3] forward world basis M·x̂ (non-unit under
+    #   scale); light sampling + world-area terms
+    rct_fy: jnp.ndarray  # [Nr,3]
     rct_hw: jnp.ndarray  # [Nr]
     rct_hh: jnp.ndarray  # [Nr]
     rct_mtype: jnp.ndarray  # [Nr]
@@ -118,11 +128,14 @@ class SceneArrays:
     light_sph_center: jnp.ndarray  # [L,3]
     light_sph_radius: jnp.ndarray  # [L]
     light_face_center: jnp.ndarray  # [L,F,3]
-    light_face_x: jnp.ndarray  # [L,F,3]
+    light_face_x: jnp.ndarray  # [L,F,3] forward basis M·x̂ (random_point)
     light_face_y: jnp.ndarray  # [L,F,3]
-    light_face_z: jnp.ndarray  # [L,F,3]
+    light_face_ux: jnp.ndarray  # [L,F,3] inverse-transposed basis (containment)
+    light_face_uy: jnp.ndarray  # [L,F,3]
+    light_face_z: jnp.ndarray  # [L,F,3] unit face normal
     light_face_hw: jnp.ndarray  # [L,F]
     light_face_hh: jnp.ndarray  # [L,F]
+    light_face_area: jnp.ndarray  # [L,F] world-space face area (4·hw·hh·|fx×fy|)
     light_face_cdf: jnp.ndarray  # [L,F] cumulative area weights
     light_face_valid: jnp.ndarray  # [L,F] bool
     light_sph_row: jnp.ndarray  # [L] sphere row of a sphere light, -1 otherwise
@@ -174,8 +187,51 @@ class SceneArrays:
         return bool(self.vol_grid.shape[1] > 1)
 
 
+def validate_scene(scene: Scene) -> None:
+    """Compile-time scene validation: loud errors where the reference
+    panics or silently misbehaves.
+
+    - Diffuse materials with zero LIGHT-flagged objects: the reference's
+      next-event sampler panics (``material.rs:112`` — ``Uniform::new(0,0)``);
+      rendering with a phantom light would be silently wrong.
+    - Degenerate (non-invertible / zero-area) transforms on rects or
+      cuboid faces: no geometry can be compiled for them.
+    """
+    lights = [obj for obj in scene.iter() if obj.has_flags(ObjectFlags.LIGHT)]
+    diffuse_users = []
+    for ref, obj in scene.pairs():
+        inner = obj.inner
+        mats = []
+        if isinstance(inner, Sphere) or isinstance(inner, Rect):
+            mats = [inner.material]
+        elif isinstance(inner, Cuboid):
+            mats = [r.material for _, r in inner.faces]
+        for mref in mats:
+            m = scene.data[mref].as_material()
+            if m is not None and m.kind == "diffuse":
+                diffuse_users.append(obj.tag or f"object#{ref}")
+                break
+    if diffuse_users and not lights:
+        raise ValueError(
+            "scene uses Diffuse materials "
+            f"({', '.join(sorted(set(diffuse_users)))}) but has no object "
+            "with ObjectFlags.LIGHT — Diffuse next-event sampling needs at "
+            "least one light (the reference panics here, material.rs:112). "
+            "Flag an emissive object with ObjectFlags.LIGHT."
+        )
+    for ref, obj in scene.pairs():
+        if isinstance(obj.inner, (Rect, Cuboid)):
+            m_lin = obj.transform.world[:, :3]
+            if abs(np.linalg.det(m_lin)) < 1e-12:
+                raise ValueError(
+                    f"object {obj.tag or ref!r} has a singular (non-invertible) "
+                    "transform; rect/cuboid faces cannot be hit-tested under it"
+                )
+
+
 def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
     """Flatten a committed scene graph into SoA device arrays."""
+    validate_scene(scene)
     vol_keys = sorted(k for k, d in scene.data.items() if d.as_volume() is not None)
     vol_index = {k: i for i, k in enumerate(vol_keys)}
 
@@ -186,17 +242,67 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
 
     sph = {k: [] for k in ("center", "radius", "mtype", "albedo", "rough", "ior",
                            "emitted", "vol_grid", "vol_size")}
-    rct = {k: [] for k in ("center", "x", "y", "z", "hw", "hh", "mtype", "albedo",
-                           "rough", "ior", "emitted")}
+    rct = {k: [] for k in ("center", "x", "y", "z", "fx", "fy", "hw", "hh",
+                           "mtype", "albedo", "rough", "ior", "emitted")}
     sphere_row_of_obj: dict[int, int] = {}
     rect_rows_of_obj: dict[int, list[int]] = {}
 
+    def face_geometry(world, rect: Rect):
+        """World-space face geometry under a general affine [M | t].
+
+        The reference applies the affine at hit time (``rect.rs:110-142``):
+        plane from the transformed normal, containment from the *inverse*
+        transform projected on the local unit bases. Baked equivalents:
+
+            fx, fy = M·x̂, M·ŷ          (forward bases; random_point,
+                                         ``rect.rs:82-86``, world area)
+            ux, uy = M⁻ᵀ·x̂, M⁻ᵀ·ŷ      (containment: (p−c)·ux ≡
+                                         (A⁻¹p)·x̂, the exact test at
+                                         ``rect.rs:74-80,134``)
+            n̂ = normalize(fx × fy)     (true plane of the transformed
+                                         face; ∝ M⁻ᵀ·ẑ)
+
+        For rigid transforms ux = fx = M·x̂ and n̂ = M·ẑ — identical to the
+        reference. Documented divergences for non-rigid transforms, where
+        the reference is itself inconsistent (debug builds assert on the
+        non-unit normal, ``Cargo.toml:19``):
+        - the reference intersects the plane with the unnormalized,
+          generally *tilted* M·ẑ (wrong plane under shear); we use the
+          face's true normal,
+        - the reference weights light pdfs by the local (pre-transform)
+          area; we use the world-space area, which is the correct density
+          for its own ``random_point`` (uniform in local coords mapped
+          through A ⇒ uniform on the world parallelogram).
+        """
+        m_lin = world[:, :3]
+        fx = m_lin @ np.asarray(rect.x, np.float64)
+        fy = m_lin @ np.asarray(rect.y, np.float64)
+        n_raw = np.cross(fx, fy)
+        n_len = np.linalg.norm(n_raw)
+        if n_len < 1e-12:
+            raise ValueError("degenerate rect face (zero world area)")
+        minv_t = np.linalg.inv(m_lin).T
+        return (
+            fx, fy, n_raw / n_len,
+            minv_t @ np.asarray(rect.x, np.float64),
+            minv_t @ np.asarray(rect.y, np.float64),
+        )
+
+    def world_area(world, rect: Rect) -> float:
+        m_lin = world[:, :3]
+        e = np.cross(m_lin @ np.asarray(rect.x, np.float64),
+                     m_lin @ np.asarray(rect.y, np.float64))
+        return float(rect.area * np.linalg.norm(e))
+
     def add_rect(world, offset, rect: Rect) -> None:
         m = mat(rect.material)
+        fx, fy, nz, ux, uy = face_geometry(world, rect)
         rct["center"].append(transform_point(world, offset))
-        rct["x"].append(transform_vector(world, rect.x))
-        rct["y"].append(transform_vector(world, rect.y))
-        rct["z"].append(transform_vector(world, rect.z))
+        rct["x"].append(ux)
+        rct["y"].append(uy)
+        rct["z"].append(nz)
+        rct["fx"].append(fx)
+        rct["fy"].append(fy)
         rct["hw"].append(rect.half_width)
         rct["hh"].append(rect.half_height)
         rct["mtype"].append(_MATERIAL_CODES[m.kind])
@@ -246,9 +352,12 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
     lfc = np.zeros((L, F, 3), np.float32)
     lfx = np.zeros((L, F, 3), np.float32)
     lfy = np.zeros((L, F, 3), np.float32)
+    lfux = np.zeros((L, F, 3), np.float32)
+    lfuy = np.zeros((L, F, 3), np.float32)
     lfz = np.tile(np.array([0, 0, 1], np.float32), (L, F, 1))
     lfhw = np.ones((L, F), np.float32)
     lfhh = np.ones((L, F), np.float32)
+    lfa = np.ones((L, F), np.float32)
     lcdf = np.ones((L, F), np.float32)
     lval = np.zeros((L, F), bool)
     lsrow = np.full(L, -1, np.int32)
@@ -267,15 +376,19 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
                 if isinstance(obj.inner, Cuboid)
                 else [(np.zeros(3), obj.inner)]
             )
-            areas = np.array([r.area for _, r in faces], np.float32)
+            areas = np.array([world_area(world, r) for _, r in faces], np.float32)
             cdf = np.cumsum(areas / areas.sum())
             for j, (off, r) in enumerate(faces):
+                fx_j, fy_j, nz_j, ux_j, uy_j = face_geometry(world, r)
                 lfc[i, j] = transform_point(world, off)
-                lfx[i, j] = transform_vector(world, r.x)
-                lfy[i, j] = transform_vector(world, r.y)
-                lfz[i, j] = transform_vector(world, r.z)
+                lfx[i, j] = fx_j
+                lfy[i, j] = fy_j
+                lfux[i, j] = ux_j
+                lfuy[i, j] = uy_j
+                lfz[i, j] = nz_j
                 lfhw[i, j] = r.half_width
                 lfhh[i, j] = r.half_height
+                lfa[i, j] = areas[j]
                 lcdf[i, j] = cdf[j]
                 lval[i, j] = True
                 lrrows[i, j] = rect_rows_of_obj[ref][j]
@@ -323,6 +436,8 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         rct_x=f(rct["x"], (Nr, 3)),
         rct_y=f(rct["y"], (Nr, 3)),
         rct_z=f(rct["z"], (Nr, 3)),
+        rct_fx=f(rct["fx"], (Nr, 3)),
+        rct_fy=f(rct["fy"], (Nr, 3)),
         rct_hw=f(rct["hw"], (Nr,)),
         rct_hh=f(rct["hh"], (Nr,)),
         rct_mtype=i32(rct["mtype"]).reshape(Nr),
@@ -339,9 +454,12 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         light_face_center=f(lfc),
         light_face_x=f(lfx),
         light_face_y=f(lfy),
+        light_face_ux=f(lfux),
+        light_face_uy=f(lfuy),
         light_face_z=f(lfz),
         light_face_hw=f(lfhw),
         light_face_hh=f(lfhh),
+        light_face_area=f(lfa),
         light_face_cdf=f(lcdf),
         light_face_valid=np.asarray(lval),
         light_sph_row=i32(lsrow),

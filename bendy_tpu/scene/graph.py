@@ -215,7 +215,8 @@ class DensityMap:
         """
         c = np.clip(np.asarray(coord, np.float64), 0.0, 1.0) * self.size
         if mode == "nearest":
-            i = np.rint(c).astype(int)
+            # Rust f32::round = half away from zero (coords non-negative)
+            i = np.floor(c + 0.5).astype(int)
             return self.index(i[0], i[1], i[2])
         if mode != "trilinear":
             raise ValueError(f"unknown sampling mode {mode!r}")

@@ -84,7 +84,9 @@ struct Scene {
 
 // Packed strides (keep in sync with bendy_tpu/native.py).
 constexpr int SPH_STRIDE = 18;  // c3 r mtype alb3 rough ior emit3 volgrid volsize3 (17) + pad
-constexpr int RCT_STRIDE = 24;  // c3 x3 y3 z3 hw hh mtype alb3 rough ior emit3 (23) + pad
+constexpr int RCT_STRIDE = 32;  // c3 ux3 uy3 n3 hw hh mtype alb3 rough ior emit3 fx3 fy3 (30) + pad
+// x/y are the inverse-transposed containment bases, fx/fy the forward
+// (M·x̂) sampling bases; all four coincide for rigid transforms.
 
 struct Manifold {
   float t = kInf;
@@ -123,12 +125,18 @@ struct RectView {
   V3 alb;
   float rough, ior;
   V3 emit;
+  V3 fx, fy;  // forward world bases (light sampling under affine)
 };
 static RectView rect_at(const Scene& s, int k) {
   const float* p = s.rct + k * RCT_STRIDE;
   return {{p[0], p[1], p[2]}, {p[3], p[4], p[5]}, {p[6], p[7], p[8]},
           {p[9], p[10], p[11]}, p[12], p[13], (int)p[14],
-          {p[15], p[16], p[17]}, p[18], p[19], {p[20], p[21], p[22]}};
+          {p[15], p[16], p[17]}, p[18], p[19], {p[20], p[21], p[22]},
+          {p[24], p[25], p[26]}, {p[27], p[28], p[29]}};
+}
+// world-space face area: 4·hw·hh·|fx × fy| (= 4·hw·hh when rigid)
+static float rect_area(const RectView& rv) {
+  return 4.0f * rv.hw * rv.hh * std::sqrt(len2(cross(rv.fx, rv.fy)));
 }
 
 // sphere hit (reference sphere.rs:121-148)
@@ -287,22 +295,18 @@ static V3 light_point(const Ctx& c, Rng& rng, int li) {
   }
   const auto& rows = c.light_faces[li];
   double total = 0;
-  for (int row : rows) {
-    RectView rv = rect_at(c.s, row);
-    total += 4.0 * rv.hw * rv.hh;
-  }
+  for (int row : rows) total += rect_area(rect_at(c.s, row));
   double pick = rng.uniform() * total, acc = 0;
   int chosen = rows.back();
   for (int row : rows) {
-    RectView rv = rect_at(c.s, row);
-    acc += 4.0 * rv.hw * rv.hh;
+    acc += rect_area(rect_at(c.s, row));
     if (pick < acc) {
       chosen = row;
       break;
     }
   }
   RectView rv = rect_at(c.s, chosen);
-  return rv.c + rv.x * rng.range(-rv.hw, rv.hw) + rv.y * rng.range(-rv.hh, rv.hh);
+  return rv.c + rv.fx * rng.range(-rv.hw, rv.hw) + rv.fy * rng.range(-rv.hh, rv.hh);
 }
 
 static float light_pdf(const Ctx& c, V3 o, V3 d, int li) {
@@ -320,7 +324,7 @@ static float light_pdf(const Ctx& c, V3 o, V3 d, int li) {
     if (hit_rect(rv, o, d, s.clip_min, s.clip_max, &t, &p) && t < bt) {
       bt = t;
       bq = dot(d, rv.z);
-      barea = 4 * rv.hw * rv.hh;
+      barea = rect_area(rv);
     }
   }
   if (bt >= kInf) return 0.f;

@@ -114,15 +114,30 @@ class Oracle:
 
     @staticmethod
     def _face(w, offset, rect):
-        from bendy_tpu.scene.graph import transform_point, transform_vector
+        """World-space face under a general affine [M | t] (``rect.rs:110-142``).
 
+        fx/fy = forward bases M·x̂ (random_point); ux/uy = inverse-transposed
+        bases M⁻ᵀ·x̂ so containment (p−c)·ux ≡ (A⁻¹p)·x̂ is exact under any
+        affine; z = unit normal of the transformed plane; area = world area.
+        All coincide with the rigid-transform values when M is a rotation.
+        """
+        from bendy_tpu.scene.graph import transform_point
+
+        m_lin = np.asarray(w[:, :3], np.float64)
+        fx = m_lin @ np.asarray(rect.x, np.float64)
+        fy = m_lin @ np.asarray(rect.y, np.float64)
+        n_raw = np.cross(fx, fy)
+        minv_t = np.linalg.inv(m_lin).T
         return dict(
             center=transform_point(w, offset),
-            x=transform_vector(w, rect.x),
-            y=transform_vector(w, rect.y),
-            z=transform_vector(w, rect.z),
+            x=fx,
+            y=fy,
+            ux=minv_t @ np.asarray(rect.x, np.float64),
+            uy=minv_t @ np.asarray(rect.y, np.float64),
+            z=n_raw / np.linalg.norm(n_raw),
             hw=rect.half_width,
             hh=rect.half_height,
+            area=4.0 * rect.half_width * rect.half_height * np.linalg.norm(n_raw),
             mat=rect.material,
         )
 
@@ -163,7 +178,7 @@ class Oracle:
             return None
         pos = org + t * d
         local = pos - f["center"]
-        if (local @ f["x"]) ** 2 > f["hw"] ** 2 or (local @ f["y"]) ** 2 > f["hh"] ** 2:
+        if (local @ f["ux"]) ** 2 > f["hw"] ** 2 or (local @ f["uy"]) ** 2 > f["hh"] ** 2:
             return None
         n, face = (f["z"], FRONT) if pcoord < 0 else (-f["z"], BACK)
         return dict(t=t, pos=pos, n=n, face=face, mat=f["mat"], prim=None, bbox=None)
@@ -202,7 +217,7 @@ class Oracle:
     def _random_point(self, p):
         if p.kind == "sphere":
             return p.center + unit_sphere(self.rng) * p.radius
-        areas = np.array([4 * f["hw"] * f["hh"] for f in p.faces])
+        areas = np.array([f["area"] for f in p.faces])
         f = p.faces[self.rng.choice(len(p.faces), p=areas / areas.sum())]
         return (
             f["center"]
@@ -223,8 +238,7 @@ class Oracle:
             if hf and (best is None or hf["t"] < best[0]["t"]):
                 best = (hf, f)
         hf, f = best
-        area = 4 * f["hw"] * f["hh"]
-        return hf["t"] ** 2 / (area * abs(d @ hf["n"]))
+        return hf["t"] ** 2 / (f["area"] * abs(d @ hf["n"]))
 
     # -- materials --------------------------------------------------------
 

@@ -1,4 +1,6 @@
-"""Live-preview HTTP server tests (the headless minifb replacement)."""
+"""Live-preview HTTP server tests (the headless minifb replacement),
+including the runtime control endpoints (the reference's live-loop
+hotkeys, ``src/main.rs:275-348``)."""
 
 import json
 import urllib.request
@@ -7,6 +9,87 @@ import numpy as np
 
 from bendy_tpu.film import Film
 from bendy_tpu.preview import PreviewServer
+
+
+def _post(port, path):
+    req = urllib.request.Request(f"http://localhost:{port}{path}", method="POST")
+    return json.load(urllib.request.urlopen(req, timeout=10))
+
+
+def test_control_endpoints_enqueue_commands():
+    srv = PreviewServer(0)
+    try:
+        assert _post(srv.port, "/screenshot") == {"queued": True}
+        assert _post(srv.port, "/reload-scene") == {"queued": True}
+        assert _post(srv.port, "/resize?width=32&height=16") == {"queued": True}
+        assert _post(srv.port, "/stop") == {"queued": True}
+        cmds = srv.drain_commands()
+        assert [c[0] for c in cmds] == ["screenshot", "reload-scene", "resize", "stop"]
+        assert cmds[2][1] == {"width": "32", "height": "16"}
+        assert srv.drain_commands() == []  # drained
+    finally:
+        srv.close()
+
+
+def test_unknown_command_404():
+    import urllib.error
+
+    import pytest
+
+    srv = PreviewServer(0)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/format-disk")
+        assert e.value.code == 404
+        assert srv.drain_commands() == []
+    finally:
+        srv.close()
+
+
+def test_cli_command_handlers(tmp_path):
+    """reload-scene rebuilds the renderer + clears the film; resize updates
+    the film and camera aspect; stop flips the flag; checkpoint persists."""
+    import argparse
+
+    from bendy_tpu.cli import handle_command
+    from bendy_tpu.render import Config, Renderer
+    from bendy_tpu.scene import load_scene, save_scene
+
+    scene = load_scene("scenes/cornell.json.gz")
+    camera = scene.find_by_tag("camera")
+    scene.get_object(camera).as_camera().aspect_ratio = 1.0
+    renderer = Renderer(scene, Config(max_bounces=1))
+    film = Film(8, 8)
+    film.add_pass(np.ones((8, 8, 3), np.float32), 1)
+    scene_path = str(tmp_path / "scene.json.gz")
+    save_scene(scene_path, scene)
+    args = argparse.Namespace(
+        scene=scene_path, screenshot=str(tmp_path / "shot.png"),
+        save_scene=None, checkpoint=None, seed=0,
+    )
+
+    s2, r2, cam2, stopped = handle_command(
+        "reload-scene", {}, args, scene, renderer, camera, film
+    )
+    assert not stopped and s2 is not scene and r2 is not renderer
+    assert film.samples == 0 and film.passes == 0
+
+    _, _, _, stopped = handle_command(
+        "resize", {"width": "16", "height": "8"}, args, s2, r2, cam2, film
+    )
+    assert (film.width, film.height) == (16, 8)
+    assert s2.get_object(cam2).as_camera().aspect_ratio == 2.0
+
+    _, _, _, stopped = handle_command("stop", {}, args, s2, r2, cam2, film)
+    assert stopped
+
+    ckpt = str(tmp_path / "f.npz")
+    handle_command("checkpoint", {"path": ckpt}, args, s2, r2, cam2, film)
+    loaded, _ = Film.load_checkpoint(ckpt)
+    assert (loaded.width, loaded.height) == (16, 8)
+
+    handle_command("screenshot", {}, args, s2, r2, cam2, film)
+    assert (tmp_path / "shot.png").exists()
 
 
 def test_preview_server_roundtrip():
