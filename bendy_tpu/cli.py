@@ -105,18 +105,23 @@ def main(argv=None) -> int:
     renderer = Renderer(scene, Config(output=output))
     subsample = Subsample(0 if args.subsample in (0, 1) else args.subsample)
 
+    # the film lives on device: passes chain with zero host traffic; PNGs,
+    # checkpoints and the preview server fetch on their own cadence
+    from bendy_tpu.film import DeviceFilm, to_device
+
     if args.checkpoint and os.path.exists(args.checkpoint):
         film, seed = Film.load_checkpoint(args.checkpoint)
         if (film.width, film.height) != (args.width, args.height):
             print("checkpoint resolution mismatch; starting fresh", file=sys.stderr)
-            film = Film(args.width, args.height, output.color_space())
+            film = DeviceFilm(args.width, args.height, output.color_space())
         else:
             print(
                 f"resumed checkpoint at {film.samples} samples ({film.passes} passes)",
                 file=sys.stderr,
             )
+            film = to_device(film)
     else:
-        film = Film(args.width, args.height, output.color_space())
+        film = DeviceFilm(args.width, args.height, output.color_space())
 
     max_samples = args.samples * max(subsample.n, 1) ** 2
     rc = RenderConfig(

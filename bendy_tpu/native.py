@@ -127,14 +127,28 @@ def oracle_render(
     clip_min: float = 0.01,
     clip_max: float = 1000.0,
     volume_step: float = 0.1,
+    geo=None,
 ) -> np.ndarray:
-    """Render the linear mean image [H,W,3] with the native oracle."""
+    """Render the linear mean image [H,W,3] with the native oracle.
+
+    Scenes with ``mass:<rs>`` objects propagate along RK4 geodesic chords
+    (same semantics as bendy_tpu.geodesic; ``geo`` overrides GeoParams).
+    """
+    from bendy_tpu.geodesic import GeoParams
+
     lib = _load()
+    geo = geo or GeoParams()
+    scn = scn.host_copy()  # one batched fetch; per-leaf asarray is seconds on axon
     sph, rct, kinds, srows, frows, fcounts = pack_scene(scn)
     grids = np.ascontiguousarray(np.asarray(scn.vol_grid), np.float32)
     g, gd, gh, gw = grids.shape
     root_albedo = np.asarray(scn.root_albedo, np.float32)
     root_emitted = np.asarray(scn.root_emitted, np.float32)
+    n_masses = scn.n_masses
+    masses = np.zeros((max(n_masses, 1), 4), np.float32)
+    if n_masses:
+        masses[:n_masses, :3] = np.asarray(scn.mass_center)
+        masses[:n_masses, 3] = np.asarray(scn.mass_rs)
     out = np.zeros((height, width, 3), np.float32)
 
     fp = ctypes.POINTER(ctypes.c_float)
@@ -153,6 +167,10 @@ def oracle_render(
         I(kinds), I(srows), I(frows), I(fcounts), ctypes.c_int(scn.n_lights),
         F(grids), ctypes.c_int(g), ctypes.c_int(gd), ctypes.c_int(gh), ctypes.c_int(gw),
         ctypes.c_int(int(scn.root_mtype)), F(root_albedo), F(root_emitted),
+        F(masses), ctypes.c_int(n_masses),
+        ctypes.c_float(geo.eta), ctypes.c_float(geo.min_step),
+        ctypes.c_float(geo.max_step), ctypes.c_float(geo.far),
+        ctypes.c_float(geo.growth), ctypes.c_int(geo.max_steps),
         ctypes.c_int(max_bounces), ctypes.c_int(max_volume_bounces),
         ctypes.c_float(clip_min), ctypes.c_float(clip_max), ctypes.c_float(volume_step),
         ctypes.c_float(sensor), ctypes.c_float(focal), ctypes.c_float(aspect),

@@ -61,6 +61,7 @@ def camera_ray(
     py: jnp.ndarray,
     si: jnp.ndarray,
     sj: jnp.ndarray,
+    poly_trig: bool = False,
 ) -> tuple[V3, V3]:
     """Generate one primary ray per lane from explicit coordinates.
 
@@ -82,8 +83,18 @@ def camera_ray(
     xfov = yfov * cam.aspect_ratio
     yrot = xfov * 0.5 * -u
     xrot = yfov * 0.5 * -v
-    cos_x = jnp.cos(xrot)
-    d_frustum = V3(-cos_x * jnp.sin(yrot), jnp.sin(xrot), -cos_x * jnp.cos(yrot))
+    if poly_trig:
+        # the renderer sets this only when the FOV statically bounds the
+        # angles below ~1.2 rad (TraceConfig.frustum_poly): range-free
+        # Taylor polys, abs error < 2e-7 (ops/distr.sin_cos_small)
+        from bendy_tpu.ops.distr import sin_cos_small
+
+        sin_x, cos_x = sin_cos_small(xrot)
+        sin_y, cos_y = sin_cos_small(yrot)
+    else:
+        cos_x, sin_x = jnp.cos(xrot), jnp.sin(xrot)
+        cos_y, sin_y = jnp.cos(yrot), jnp.sin(yrot)
+    d_frustum = V3(-cos_x * sin_y, sin_x, -cos_x * cos_y)
 
     d_world = rotate(cam.rotation, d_frustum).normalize()
     origin = V3(

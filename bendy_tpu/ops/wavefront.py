@@ -87,6 +87,8 @@ class TraceConfig(NamedTuple):
     vol_nearest: bool = False  # static: SamplingMode::Nearest density lookups
     #   (``volume.rs:146-150``); default Trilinear like the reference tracer
     geodesic: bool = False  # static: curved-ray propagation (scene has masses)
+    frustum_poly: bool = False  # static: FOV bounds the frustum angles
+    #   under ~1.2 rad -> range-free polynomial sin/cos in camera_ray
     geo: "GeoParams" = None  # type: ignore[assignment]
     want_aovs: bool = True  # static: False drops the whole AOV pipeline from
     #   the loop carry (13 [B] arrays + claim logic) for FULL-only renders
@@ -288,7 +290,8 @@ def trace_core(
         sid = sample_id(jnp.maximum(sample, 0))
         px, py, si, sj = lane_coords()
         cam_org, cam_dir = camera_ray(
-            cam, width, height, n, key, sid, px, py, si, sj
+            cam, width, height, n, key, sid, px, py, si, sj,
+            poly_trig=cfg.frustum_poly,
         )
         org = V3.where(regen, cam_org, s.org)
         dirv = V3.where(regen, cam_dir, s.dir)

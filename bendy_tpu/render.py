@@ -176,7 +176,8 @@ class Renderer:
         self.scene = scene
         self.arrays = compile_scene(scene)
         self.max_lanes = max_lanes
-        self.rays_traced = 0.0
+        self._rays_host = 0.0
+        self._rays_pending: list = []
         # Pallas megakernel path: one kernel launch per pass vs ~60 XLA
         # kernels per loop iteration (measured ~2.2x on cornell). Default:
         # on for TPU devices, off elsewhere (Mosaic is TPU-only).
@@ -193,27 +194,70 @@ class Renderer:
             o.tag is not None and o.tag.startswith("mass:") for o in scene.iter()
         )
 
+    @property
+    def rays_traced(self) -> float:
+        """Total traced rays; fetches any device-pending pass counters.
+
+        Pass counters accumulate as unsynchronized device scalars so a
+        DeviceFilm render never blocks on the host; reading this property
+        settles them in one batched fetch.
+        """
+        if self._rays_pending:
+            import jax
+
+            vals = jax.device_get(self._rays_pending)
+            self._rays_host += float(np.sum(vals))
+            self._rays_pending = []
+        return self._rays_host
+
+    @rays_traced.setter
+    def rays_traced(self, value: float) -> None:
+        self._rays_host = float(value)
+        self._rays_pending = []
+
     def camera_params(self, camera_ref: int, aspect_override: Optional[float] = None) -> CameraParams:
+        """Device camera params, cached until the camera actually changes.
+
+        All 18 scalars ship in ONE packed [1,32] transfer (the megakernel's
+        pack_camera layout) and the CameraParams views are built once per
+        camera change — a progressive render with a static camera costs
+        zero host->device traffic per pass (each eager put is a full RTT
+        on remote devices).
+        """
         obj = self.scene.get_object(camera_ref)
         cam = obj.as_camera()
         if cam is None:
             raise ValueError("expected a camera object")
         world = obj.transform.world
-        f32 = lambda v: jnp.float32(v)  # noqa: E731
-        return CameraParams(
-            sensor_size=f32(cam.sensor_size),
-            focal_length=f32(cam.focal_length),
-            aspect_ratio=f32(cam.aspect_ratio if aspect_override is None else aspect_override),
-            fstop=f32(cam.fstop),
-            focus=f32(-1.0 if cam.focus is None else cam.focus),
-            rotation=jnp.asarray(world[:, :3], jnp.float32),
-            translation=jnp.asarray(world[:, 3], jnp.float32),
-            yfov=f32(2.0 * np.arctan2(cam.sensor_size, 2.0 * cam.focal_length)),
-        )
+        aspect = cam.aspect_ratio if aspect_override is None else aspect_override
+        vec = np.zeros((1, 32), np.float32)
+        vec[0, :6] = [
+            cam.sensor_size, cam.focal_length, aspect, cam.fstop,
+            -1.0 if cam.focus is None else cam.focus,
+            2.0 * np.arctan2(cam.sensor_size, 2.0 * cam.focal_length),
+        ]
+        vec[0, 6:15] = np.asarray(world[:, :3], np.float32).reshape(-1)
+        vec[0, 15:18] = np.asarray(world[:, 3], np.float32)
+        key = vec.tobytes()
+        if getattr(self, "_cam_key", None) != key:
+            from bendy_tpu.ops.pallas_trace import unpack_camera
 
-    def trace_config(self, cfg: Config) -> TraceConfig:
+            self._cam_packed = jnp.asarray(vec)  # the one transfer
+            self._cam_params = unpack_camera(self._cam_packed)
+            self._cam_key = key
+        return self._cam_params
+
+    def trace_config(self, cfg: Config, camera_ref: Optional[int] = None) -> TraceConfig:
         if cfg.vol_sampling not in ("trilinear", "nearest"):
             raise ValueError(f"unknown vol_sampling {cfg.vol_sampling!r}")
+        frustum_poly = False
+        if camera_ref is not None:
+            cam = self.scene.get_object(camera_ref).as_camera()
+            if cam is not None:
+                yfov = 2.0 * np.arctan2(cam.sensor_size, 2.0 * cam.focal_length)
+                # frustum angles are bounded by max(yfov, xfov)/2 (+jitter);
+                # below ~1.2 rad the polynomial sin/cos is exact to f32
+                frustum_poly = 0.5 * yfov * max(1.0, cam.aspect_ratio) * 1.05 < 1.2
         return TraceConfig(
             max_bounces=cfg.max_bounces,
             max_volume_bounces=cfg.max_volume_bounces,
@@ -221,6 +265,7 @@ class Renderer:
             clip_max=cfg.clip_max,
             volume_step=cfg.volume_step,
             vol_nearest=cfg.vol_sampling == "nearest",
+            frustum_poly=frustum_poly,
             has_volumes=self.has_volumes,
             geodesic=self.has_masses,
             geo=cfg.geo,
@@ -245,33 +290,39 @@ class Renderer:
             return Status.DONE
         cfg = merged_config(self.config, render_config)
         cam = self.camera_params(camera_ref)
-        tcfg = self.trace_config(cfg)
+        tcfg = self.trace_config(cfg, camera_ref)
         W, H = film.width, film.height
         nn = render_config.subsample.subpixel_count
         n = max(render_config.subsample.n, 1)
 
         # one lane per (pixel, subpixel); spp runs inside the wavefront via
         # ray regeneration. Rows are chunked so a dispatch stays <= max_lanes.
+        # Pass sums stay device arrays end to end: a host Film converts in
+        # add_pass; a DeviceFilm chains the accumulation with no transfer
+        # and no sync (remote links are ~40 ms RTT / ~10 MB/s).
         rows_chunk = min(H, max(1, self.max_lanes // max(W * nn, 1)))
         parts = []
         for y0 in range(0, H, rows_chunk):
             rows = min(rows_chunk, H - y0)
-            pallas_fn = (
+            entry = (
                 self._pallas_render_pass(W, H, rows, render_config.samples, n, tcfg, cfg)
                 if self.use_pallas
                 else None
             )
             sums = None
-            if pallas_fn is not None:
-                from bendy_tpu.ops.pallas_trace import pack_camera
-
+            if entry is not None:
                 try:
-                    sums, rays = pallas_fn(
-                        pack_camera(cam), jnp.uint32(seed), jnp.uint32(film.passes),
+                    sums, rays = entry["fn"](
+                        self._cam_packed, jnp.uint32(seed), jnp.uint32(film.passes),
                         jnp.uint32(y0),
                     )
-                    sums = np.asarray(sums)  # forces execution: Mosaic
-                    # rejections surface here, not at build time
+                    if not entry["validated"]:
+                        # force one synchronous execution: Mosaic rejections
+                        # surface at run time, not at build time
+                        import jax
+
+                        jax.block_until_ready(sums)
+                        entry["validated"] = True
                 except Exception as e:  # pragma: no cover - device-dependent
                     import sys
 
@@ -294,18 +345,17 @@ class Renderer:
                     tcfg,
                     cfg.output.value,
                 )
-                sums = np.asarray(sums)
             parts.append(sums)
-            self.rays_traced += float(rays)
+            self._rays_pending.append(rays)
         film.add_pass(
-            np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0],
+            jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0],
             render_config.samples * nn,
         )
         return Status.IN_PROGRESS
 
     def _pallas_render_pass(self, W, H, rows, spp, n, tcfg, cfg):
-        """Cached megakernel pass; None if Mosaic rejects this config
-        (falls back to the XLA path permanently for the config)."""
+        """Cached megakernel pass entry {fn, validated}; None if Mosaic
+        rejects this config (falls back to the XLA path for the config)."""
         if tcfg.has_volumes:
             # In-kernel density lookup unrolls the trilinear contraction to
             # scalar grid constants (Pallas can't capture array constants);
@@ -320,9 +370,12 @@ class Renderer:
             try:
                 from bendy_tpu.ops.pallas_trace import make_pallas_render_pass
 
-                self._pallas_cache[key] = make_pallas_render_pass(
-                    self.arrays, W, H, rows, spp, n, tcfg, cfg.output.value
-                )
+                self._pallas_cache[key] = {
+                    "fn": make_pallas_render_pass(
+                        self.arrays, W, H, rows, spp, n, tcfg, cfg.output.value
+                    ),
+                    "validated": False,
+                }
             except Exception:
                 self._pallas_cache[key] = None
         return self._pallas_cache[key]

@@ -80,6 +80,12 @@ struct Scene {
   // config
   int max_bounces = 8, max_volume_bounces = 32;
   float clip_min = 0.01f, clip_max = 1000.f, volume_step = 0.1f;
+  // geodesic masses ([M][4]: cx cy cz rs) + GeoParams (bendy_tpu.geodesic)
+  const float* masses = nullptr;
+  int n_masses = 0;
+  float geo_eta = 0.2f, geo_min_step = 0.02f, geo_max_step = 6.0f;
+  float geo_far = 150.0f, geo_growth = 0.02f;
+  int geo_max_steps = 256;
 };
 
 // Packed strides (keep in sync with bendy_tpu/native.py).
@@ -348,8 +354,57 @@ static float grid_sample(const Scene& s, int g, V3 size, V3 coord) {
   return lerp(za, zb, fz);
 }
 
+// ---- geodesic propagation (mirrors bendy_tpu/geodesic.py) ----------------
+static V3 geo_accel(const Scene& s, V3 x, V3 d) {
+  V3 a = {0, 0, 0};
+  for (int k = 0; k < s.n_masses; k++) {
+    const float* m = s.masses + k * 4;
+    V3 rel = x - V3{m[0], m[1], m[2]};
+    float r2 = len2(rel);
+    V3 h = cross(rel, d);
+    float inv_r = r2 > 0 ? 1.0f / std::sqrt(std::fmax(r2, 1e-20f)) : 0.0f;
+    float inv_r5 = inv_r * inv_r * inv_r * inv_r * inv_r;
+    a = a + rel * (-1.5f * m[3] * len2(h) * inv_r5);
+  }
+  return a;
+}
+static float geo_step(const Scene& s, V3 x, int steps) {
+  float r2_min = kInf;
+  for (int k = 0; k < s.n_masses; k++) {
+    const float* m = s.masses + k * 4;
+    r2_min = std::fmin(r2_min, len2(x - V3{m[0], m[1], m[2]}));
+  }
+  float eta = s.geo_eta * (1.0f + s.geo_growth * steps);
+  float ds = eta * std::sqrt(r2_min);
+  return std::fmin(std::fmax(ds, s.geo_min_step), s.geo_max_step);
+}
+static void geo_rk4(const Scene& s, V3& x, V3& d, float ds) {
+  float half = ds * 0.5f;
+  V3 k1x = d, k1d = geo_accel(s, x, d);
+  V3 k2x = d + k1d * half;
+  V3 k2d = geo_accel(s, x + k1x * half, k2x);
+  V3 k3x = d + k2d * half;
+  V3 k3d = geo_accel(s, x + k2x * half, k3x);
+  V3 k4x = d + k3d * ds;
+  V3 k4d = geo_accel(s, x + k3x * ds, k4x);
+  float sixth = ds / 6.0f;
+  x = x + (k1x + (k2x + k3x) * 2.0f + k4x) * sixth;
+  d = d + (k1d + (k2d + k3d) * 2.0f + k4d) * sixth;
+}
+static void geo_capture_far(const Scene& s, V3 x, V3 d, bool* captured, bool* far) {
+  *captured = false;
+  *far = true;
+  for (int k = 0; k < s.n_masses; k++) {
+    const float* m = s.masses + k * 4;
+    V3 rel = x - V3{m[0], m[1], m[2]};
+    float r2 = len2(rel);
+    *captured = *captured || r2 < m[3] * m[3];
+    *far = *far && (r2 > (s.geo_far * m[3]) * (s.geo_far * m[3]) && dot(rel, d) > 0.0f);
+  }
+}
+
 // recursive sampler, mirroring tracer/mod.rs:322-523
-static V3 sample(const Ctx& c, Rng& rng, V3 o, V3 d, int bounce);
+static V3 sample(const Ctx& c, Rng& rng, V3 o, V3 d, int bounce, int geo_steps = 0);
 
 static V3 sample_root(const Ctx& c) {
   const Scene& s = c.s;
@@ -357,7 +412,8 @@ static V3 sample_root(const Ctx& c) {
   return s.root_albedo;
 }
 
-static V3 sample_surface(const Ctx& c, Rng& rng, const Manifold& m, V3 d, int bounce) {
+static V3 sample_surface(const Ctx& c, Rng& rng, const Manifold& m, V3 d, int bounce,
+                         int geo_steps) {
   const Scene& s = c.s;
   V3 emitted = m.emitted;
   if (m.mtype == FLAT || m.mtype == EMISSIVE) return emitted;
@@ -389,14 +445,15 @@ static V3 sample_surface(const Ctx& c, Rng& rng, const Manifold& m, V3 d, int bo
     nd = norm(base + hemisphere_sample(rng, m.normal) * m.rough);
     w = m.albedo;
   }
-  V3 rec = sample(c, rng, m.pos, nd, bounce + 1);
+  V3 rec = sample(c, rng, m.pos, nd, bounce + 1, geo_steps);
   return emitted + w * rec;
 }
 
 static V3 sample_volumetric(const Ctx& c, Rng& rng, V3 o, V3 d, int last_row, int bounce,
-                            int vbounce);
+                            int vbounce, int geo_steps);
 
-static V3 sample_volume(const Ctx& c, Rng& rng, const Manifold& m, V3 d, int bounce, int vbounce) {
+static V3 sample_volume(const Ctx& c, Rng& rng, const Manifold& m, V3 d, int bounce, int vbounce,
+                        int geo_steps) {
   const Scene& s = c.s;
   V3 coord = {(m.pos.x - m.bbox_min.x) / m.bbox_ext, (m.pos.y - m.bbox_min.y) / m.bbox_ext,
               (m.pos.z - m.bbox_min.z) / m.bbox_ext};
@@ -409,31 +466,65 @@ static V3 sample_volume(const Ctx& c, Rng& rng, const Manifold& m, V3 d, int bou
   }
   V3 rec;
   if (m.face == VOLUME_BACK)
-    rec = sample(c, rng, o2, d2, bounce + 1);
+    rec = sample(c, rng, o2, d2, bounce + 1, geo_steps);
   else
-    rec = sample_volumetric(c, rng, o2, d2, m.sphere_row, bounce, vbounce + 1);
+    rec = sample_volumetric(c, rng, o2, d2, m.sphere_row, bounce, vbounce + 1, geo_steps);
   return att * rec;
 }
 
 static V3 sample_volumetric(const Ctx& c, Rng& rng, V3 o, V3 d, int last_row, int bounce,
-                            int vbounce) {
+                            int vbounce, int geo_steps) {
   const Scene& s = c.s;
   if (vbounce > s.max_volume_bounces) return {0, 0, 0};
   Manifold m = nearest(s, o, d, 0.f, s.volume_step, last_row);
   if (!m.valid) return sample_root(c);
-  if (m.face == FRONT || m.face == BACK) return sample_surface(c, rng, m, d, bounce);
+  if (m.face == FRONT || m.face == BACK) return sample_surface(c, rng, m, d, bounce, geo_steps);
   if (m.vol_grid < 0) return {0, 0, 0};
-  return sample_volume(c, rng, m, d, bounce, vbounce);
+  return sample_volume(c, rng, m, d, bounce, vbounce, geo_steps);
 }
 
-static V3 sample(const Ctx& c, Rng& rng, V3 o, V3 d, int bounce) {
+static V3 dispatch(const Ctx& c, Rng& rng, const Manifold& m, V3 d, int bounce, int geo_steps) {
+  if (m.face == FRONT || m.face == BACK) return sample_surface(c, rng, m, d, bounce, geo_steps);
+  if (m.vol_grid < 0) return {0, 0, 0};
+  return sample_volume(c, rng, m, d, bounce, 0, geo_steps);
+}
+
+static V3 sample(const Ctx& c, Rng& rng, V3 o, V3 d, int bounce, int geo_steps) {
   const Scene& s = c.s;
   if (bounce > s.max_bounces) return {0, 0, 0};
-  Manifold m = nearest(s, o, d, s.clip_min, s.clip_max, -1);
-  if (!m.valid) return sample_root(c);
-  if (m.face == FRONT || m.face == BACK) return sample_surface(c, rng, m, d, bounce);
-  if (m.vol_grid < 0) return {0, 0, 0};
-  return sample_volume(c, rng, m, d, bounce, 0);
+  if (s.n_masses == 0) {
+    Manifold m = nearest(s, o, d, s.clip_min, s.clip_max, -1);
+    if (!m.valid) return sample_root(c);
+    return dispatch(c, rng, m, d, bounce, 0);
+  }
+  // curved space (mirrors the wavefront's geodesic mode): RK4 chord
+  // stepping with a straight trace along each chord; far receding rays
+  // switch to an exact full-clip trace; horizon crossings and step-budget
+  // exhaustion are swallowed. clip_min applies only to the first segment
+  // after a bounce. geo_steps persists across bounces within a path.
+  bool fresh = true;
+  while (true) {
+    bool captured, far;
+    geo_capture_far(s, o, d, &captured, &far);
+    if (captured || geo_steps > s.geo_max_steps) return {0, 0, 0};
+    if (far) {
+      Manifold m = nearest(s, o, d, fresh ? s.clip_min : 0.0f, s.clip_max, -1);
+      if (!m.valid) return sample_root(c);
+      return dispatch(c, rng, m, d, bounce, geo_steps);
+    }
+    float ds = geo_step(s, o, geo_steps);
+    V3 x2 = o, d2 = d;
+    geo_rk4(s, x2, d2, ds);
+    V3 chord = x2 - o;
+    float clen = std::sqrt(len2(chord));
+    V3 seg = chord * (1.0f / std::fmax(clen, 1e-20f));
+    Manifold m = nearest(s, o, seg, fresh ? s.clip_min : 0.0f, clen, -1);
+    geo_steps++;
+    if (m.valid) return dispatch(c, rng, m, seg, bounce, geo_steps);
+    o = x2;
+    d = d2;
+    fresh = false;
+  }
 }
 
 }  // namespace
@@ -450,6 +541,10 @@ void oracle_render(
     const int* light_face_rows, const int* light_face_counts, int n_lights,
     const float* grids, int n_grids, int gd, int gh, int gw,
     int root_mtype, const float* root_albedo, const float* root_emitted,
+    // geodesic masses ([M][4]: cx cy cz rs) + GeoParams
+    const float* masses, int n_masses,
+    float geo_eta, float geo_min_step, float geo_max_step, float geo_far,
+    float geo_growth, int geo_max_steps,
     // config
     int max_bounces, int max_volume_bounces,
     float clip_min, float clip_max, float volume_step,
@@ -473,6 +568,14 @@ void oracle_render(
   ctx.s.root_mtype = root_mtype;
   ctx.s.root_albedo = {root_albedo[0], root_albedo[1], root_albedo[2]};
   ctx.s.root_emitted = {root_emitted[0], root_emitted[1], root_emitted[2]};
+  ctx.s.masses = masses;
+  ctx.s.n_masses = n_masses;
+  ctx.s.geo_eta = geo_eta;
+  ctx.s.geo_min_step = geo_min_step;
+  ctx.s.geo_max_step = geo_max_step;
+  ctx.s.geo_far = geo_far;
+  ctx.s.geo_growth = geo_growth;
+  ctx.s.geo_max_steps = geo_max_steps;
   ctx.s.max_bounces = max_bounces;
   ctx.s.max_volume_bounces = max_volume_bounces;
   ctx.s.clip_min = clip_min;

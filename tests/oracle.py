@@ -80,7 +80,8 @@ class Prim:
 
 class Oracle:
     def __init__(self, scene, max_bounces=8, max_volume_bounces=32,
-                 clip=(0.01, 1000.0), volume_step=0.1, seed=0):
+                 clip=(0.01, 1000.0), volume_step=0.1, seed=0, geo=None):
+        from bendy_tpu.geodesic import GeoParams
         from bendy_tpu.scene.graph import Cuboid, Rect, Sphere
         from bendy_tpu.scene.graph import transform_point, transform_vector
 
@@ -90,6 +91,14 @@ class Oracle:
         self.clip = clip
         self.step = volume_step
         self.scene = scene
+        self.geo = geo or GeoParams()
+        # geodesic masses: objects tagged "mass:<rs>" (matches the compiler)
+        self.masses = [
+            (np.asarray(o.transform.world[:, 3], np.float64),
+             float(o.tag.split(":", 1)[1]))
+            for o in scene.iter()
+            if o.tag and o.tag.startswith("mass:")
+        ]
         self.prims = []
         for ref, obj in scene.pairs():
             w = obj.transform.world
@@ -249,17 +258,89 @@ class Oracle:
             return np.asarray(mat.albedo) * mat.intensity
         return np.zeros(3)
 
+    # -- geodesic propagation (mirrors bendy_tpu.geodesic semantics) -------
+
+    def _accel(self, x, d):
+        """a = -(3/2)·rs·h²·r̂/r⁴ summed over masses (geodesic.py:67-80)."""
+        a = np.zeros(3)
+        for c, rs in self.masses:
+            rel = x - c
+            r2 = rel @ rel
+            hv = np.cross(rel, d)
+            inv_r = 1.0 / np.sqrt(max(r2, 1e-20)) if r2 > 0 else 0.0
+            a = a + rel * (-1.5 * rs * (hv @ hv) * inv_r**5)
+        return a
+
+    def _geo_step_size(self, x, steps):
+        r2_min = min((x - c) @ (x - c) for c, _ in self.masses)
+        eta = self.geo.eta * (1.0 + self.geo.growth * steps)
+        return float(np.clip(eta * np.sqrt(r2_min), self.geo.min_step, self.geo.max_step))
+
+    def _rk4(self, x, d, ds):
+        half = ds * 0.5
+        k1x, k1d = d, self._accel(x, d)
+        k2x = d + k1d * half
+        k2d = self._accel(x + k1x * half, k2x)
+        k3x = d + k2d * half
+        k3d = self._accel(x + k2x * half, k3x)
+        k4x = d + k3d * ds
+        k4d = self._accel(x + k3x * ds, k4x)
+        sixth = ds / 6.0
+        return (x + (k1x + (k2x + k3x) * 2.0 + k4x) * sixth,
+                d + (k1d + (k2d + k3d) * 2.0 + k4d) * sixth)
+
+    def _capture_and_far(self, x, d):
+        captured, far = False, True
+        for c, rs in self.masses:
+            rel = x - c
+            r2 = rel @ rel
+            captured = captured or r2 < rs * rs
+            far = far and (r2 > (self.geo.far * rs) ** 2 and rel @ d > 0.0)
+        return captured, far
+
     # -- integrator -------------------------------------------------------
 
-    def sample(self, org, d, bounce):
+    def sample(self, org, d, bounce, geo_steps=0):
         if bounce > self.max_b:
             return np.zeros(3)
-        h = self._try_hit(org, d, *self.clip)
-        if h is None:
-            return self._sample_root()
+        if not self.masses:
+            h = self._try_hit(org, d, *self.clip)
+            if h is None:
+                return self._sample_root()
+            if h["face"] in (FRONT, BACK):
+                return self._sample_surface(h, d, bounce)
+            return self._sample_volume(h, d, bounce, 0)
+
+        # curved space: RK4 chord stepping, straight trace along each
+        # chord; far receding rays switch to an exact full-clip trace;
+        # horizon crossings and step-budget exhaustion are swallowed.
+        # clip_min applies only to the first segment after a bounce.
+        fresh = True
+        while True:
+            captured, far = self._capture_and_far(org, d)
+            if captured or geo_steps > self.geo.max_steps:
+                return np.zeros(3)
+            if far:
+                h = self._try_hit(org, d, self.clip[0] if fresh else 0.0, self.clip[1])
+                if h is None:
+                    return self._sample_root()
+                return self._dispatch(h, d, bounce, geo_steps)
+            ds = self._geo_step_size(org, geo_steps)
+            x2, d2 = self._rk4(org, d, ds)
+            chord = x2 - org
+            clen = float(np.linalg.norm(chord))
+            seg = chord / max(clen, 1e-20)
+            h = self._try_hit(org, seg, self.clip[0] if fresh else 0.0, clen)
+            geo_steps += 1
+            if h is not None:
+                return self._dispatch(h, seg, bounce, geo_steps)
+            org, d = x2, d2
+            fresh = False
+
+    def _dispatch(self, h, d, bounce, geo_steps):
         if h["face"] in (FRONT, BACK):
-            return self._sample_surface(h, d, bounce)
-        return self._sample_volume(h, d, bounce, 0)
+            return self._sample_surface(h, d, bounce, geo_steps)
+        return self._sample_volume(h, d, bounce, 0, geo_steps)
 
     def _sample_root(self):
         mat = self.scene.root_material_data()
@@ -267,7 +348,7 @@ class Oracle:
             return self._emitted(mat)
         return np.asarray(mat.albedo)
 
-    def _sample_surface(self, h, d, bounce):
+    def _sample_surface(self, h, d, bounce, geo_steps=0):
         mat = self.scene.get_data(h["mat"]).as_material()
         emitted = self._emitted(mat)
         if mat.kind in ("flat", "emissive"):
@@ -301,7 +382,7 @@ class Oracle:
             w = albedo
         else:
             raise ValueError(mat.kind)
-        return emitted + w * self.sample(pos, nd, bounce + 1)
+        return emitted + w * self.sample(pos, nd, bounce + 1, geo_steps)
 
     def _density(self, vol, coord):
         c = np.clip(coord, 0.0, 1.0) * vol.size
@@ -324,7 +405,7 @@ class Oracle:
         z1 = lerp(y0, y1, f[1])
         return lerp(z0, z1, f[2])
 
-    def _sample_volume(self, h, d, bounce, vbounce):
+    def _sample_volume(self, h, d, bounce, vbounce, geo_steps=0):
         vol = h["prim"].vol
         bbox_min, bbox_size = h["bbox"]
         coord = (h["pos"] - bbox_min) / bbox_size
@@ -338,20 +419,20 @@ class Oracle:
         else:
             o, nd, att = h["pos"], d, np.ones(3)
         if h["face"] == VOLUME_BACK:
-            rec = self.sample(o, nd, bounce + 1)
+            rec = self.sample(o, nd, bounce + 1, geo_steps)
         else:
-            rec = self._sample_volumetric(o, nd, h["prim"], bounce, vbounce + 1)
+            rec = self._sample_volumetric(o, nd, h["prim"], bounce, vbounce + 1, geo_steps)
         return att * rec
 
-    def _sample_volumetric(self, org, d, last_prim, bounce, vbounce):
+    def _sample_volumetric(self, org, d, last_prim, bounce, vbounce, geo_steps=0):
         if vbounce > self.max_vb:
             return np.zeros(3)
         h = self._try_hit(org, d, 0.0, self.step, march_prim=last_prim)
         if h is None:
             return self._sample_root()
         if h["face"] in (FRONT, BACK):
-            return self._sample_surface(h, d, bounce)
-        return self._sample_volume(h, d, bounce, vbounce)
+            return self._sample_surface(h, d, bounce, geo_steps)
+        return self._sample_volume(h, d, bounce, vbounce, geo_steps)
 
     # -- camera + film ------------------------------------------------------
 

