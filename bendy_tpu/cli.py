@@ -188,6 +188,8 @@ def main(argv=None) -> int:
     print(f"total t: {total:.2f}s; rays traced: {renderer.rays_traced:.0f}; "
           f"{renderer.rays_traced/max(total,1e-9)/1e6:.1f} Mrays/s", file=sys.stderr)
     _write_png(args.screenshot, film)
+    if server is not None:
+        server.close()
     return 0
 
 

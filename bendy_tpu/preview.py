@@ -131,3 +131,4 @@ class PreviewServer:
 
     def close(self) -> None:
         self._httpd.shutdown()
+        self._httpd.server_close()  # release the listening socket
