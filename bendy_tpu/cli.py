@@ -55,6 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a live preview (HTML+PNG+stats) on this port")
     p.add_argument("--max-bounces", type=int, default=None)
     p.add_argument("--volume-step", type=float, default=None)
+    p.add_argument("--vol-sampling", choices=["trilinear", "nearest"],
+                   default="trilinear",
+                   help="density lookup mode (SamplingMode, volume.rs:12-18)")
+    # geodesic integration knobs (scenes with mass:<rs> objects)
+    p.add_argument("--geo-eta", type=float, default=None,
+                   help="geodesic step fraction of distance-to-mass")
+    p.add_argument("--geo-max-steps", type=int, default=None,
+                   help="RK4 step budget per path")
+    p.add_argument("--geo-far", type=float, default=None,
+                   help="flat-space switchover radius in units of rs")
     p.add_argument("--mesh", default=None, metavar="TILESxSAMPLES",
                    help="render across a device mesh, e.g. 4x2 (shard_map)")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -102,7 +112,25 @@ def main(argv=None) -> int:
     queue.commit(scene)
 
     output = Output(args.output)
-    renderer = Renderer(scene, Config(output=output))
+    geo = None
+    if any(v is not None for v in (args.geo_eta, args.geo_max_steps, args.geo_far)):
+        from bendy_tpu.geodesic import GeoParams
+
+        defaults = GeoParams()
+        geo = defaults._replace(
+            **{
+                k: v
+                for k, v in [
+                    ("eta", args.geo_eta),
+                    ("max_steps", args.geo_max_steps),
+                    ("far", args.geo_far),
+                ]
+                if v is not None
+            }
+        )
+    renderer = Renderer(
+        scene, Config(output=output, vol_sampling=args.vol_sampling, geo=geo)
+    )
     subsample = Subsample(0 if args.subsample in (0, 1) else args.subsample)
 
     # the film lives on device: passes chain with zero host traffic; PNGs,
