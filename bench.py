@@ -33,18 +33,23 @@ def timed_render(scene, width, height, samples, subsample, config=Config(), repe
     statics would time a recompile); fresh seeds every repeat (the axon
     backend memoizes identical executions).
     """
+    import os
+
     cam_ref = scene.find_by_tag("camera")
     scene.get_object(cam_ref).inner.aspect_ratio = width / height
     r = Renderer(scene, config)
     rc = RenderConfig(samples=samples, subsample=Subsample(subsample))
-    r.render(cam_ref, rc, DeviceFilm(width, height), seed=1)  # warmup: compile
+    # never-before-seen seeds: the axon service memoizes identical
+    # executions ACROSS processes, so constant seeds would time cache hits
+    base = int.from_bytes(os.urandom(4), "little")
+    r.render(cam_ref, rc, DeviceFilm(width, height), seed=base)  # warmup: compile
     float(r.rays_traced)
     mrays, secs = [], []
     for i in range(repeats):
         film = DeviceFilm(width, height)
         r.rays_traced = 0.0
         t0 = time.time()
-        r.render(cam_ref, rc, film, seed=100 + i)
+        r.render(cam_ref, rc, film, seed=base + 1 + i)
         film.block_until_ready()
         dt = time.time() - t0
         mrays.append(r.rays_traced / dt / 1e6)  # rays fetch: untimed

@@ -52,7 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp-per-pass", type=int, default=1,
                    help="samples per progressive pass (1 = reference cadence)")
     p.add_argument("--serve", type=int, default=0,
-                   help="serve a live preview (HTML+PNG+stats) on this port")
+                   help="serve a live preview + control API on this port")
+    p.add_argument("--serve-host", default="127.0.0.1",
+                   help="preview bind address (control endpoints mutate the "
+                        "render — exposing beyond loopback is opt-in)")
     p.add_argument("--max-bounces", type=int, default=None)
     p.add_argument("--volume-step", type=float, default=None)
     p.add_argument("--vol-sampling", choices=["trilinear", "nearest"],
@@ -171,8 +174,8 @@ def main(argv=None) -> int:
     if args.serve:
         from bendy_tpu.preview import PreviewServer
 
-        server = PreviewServer(args.serve)
-        print(f"live preview at http://localhost:{args.serve}/", file=sys.stderr)
+        server = PreviewServer(args.serve, host=args.serve_host)
+        print(f"live preview at http://{args.serve_host}:{args.serve}/", file=sys.stderr)
 
     profiler = None
     if args.profile:
@@ -198,9 +201,15 @@ def main(argv=None) -> int:
         if server is not None:
             server.publish(film, mrays=round(renderer.rays_traced / max(sum_delta, 1e-9) / 1e6, 1))
             for name, cargs in server.drain_commands():
-                scene, renderer, camera, stopped = handle_command(
-                    name, cargs, args, scene, renderer, camera, film
-                )
+                # a bad command (unwritable path, corrupt scene file, junk
+                # resize args) must not take down a multi-hour render
+                try:
+                    scene, renderer, camera, stop_now = handle_command(
+                        name, cargs, args, scene, renderer, camera, film
+                    )
+                    stopped = stopped or stop_now
+                except Exception as e:
+                    print(f"command {name!r} failed: {e}", file=sys.stderr)
         if args.preview_every and film.passes % args.preview_every == 0:
             _write_png(args.screenshot, film)
         if args.checkpoint:
@@ -231,7 +240,10 @@ def handle_command(name, cargs, args, scene, renderer, camera, film):
     if name == "screenshot":  # Ctrl+P (main.rs:275-298)
         _write_png(args.screenshot, film)
     elif name == "save-scene":  # Ctrl+K (main.rs:299-313)
-        path = cargs.get("path") or args.save_scene or args.scene
+        # divergence from the reference: Ctrl+K overwrites the loaded scene
+        # file in place; a remote-triggered default should not destroy the
+        # input, so the fallback writes alongside it
+        path = cargs.get("path") or args.save_scene or args.scene + ".saved.json.gz"
         save_scene(path, scene)
         print(f"saved scene to {path}", file=sys.stderr)
     elif name == "reload-scene":  # Ctrl+L: reload + clear film (main.rs:314-335)

@@ -55,6 +55,20 @@ def pack_camera(cam: CameraParams) -> jnp.ndarray:
     return jnp.pad(flat, (0, 32 - flat.shape[0])).reshape(1, 32)
 
 
+def pack_camera_host(sensor, focal, aspect, fstop, focus, yfov,
+                     rotation, translation):
+    """Host-side (numpy) twin of :func:`pack_camera` — the single layout
+    definition for the packed camera buffer; keep in lockstep with
+    :func:`unpack_camera`."""
+    import numpy as np
+
+    vec = np.zeros((1, 32), np.float32)
+    vec[0, :6] = [sensor, focal, aspect, fstop, focus, yfov]
+    vec[0, 6:15] = np.asarray(rotation, np.float32).reshape(-1)
+    vec[0, 15:18] = np.asarray(translation, np.float32)
+    return vec
+
+
 def unpack_camera(v: jnp.ndarray) -> CameraParams:
     return CameraParams(
         sensor_size=v[0, 0],

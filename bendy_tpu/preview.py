@@ -61,7 +61,10 @@ _COMMANDS = ("screenshot", "save-scene", "reload-scene", "checkpoint", "stop", "
 
 
 class PreviewServer:
-    def __init__(self, port: int) -> None:
+    def __init__(self, port: int, host: str = "127.0.0.1") -> None:
+        """Bind to loopback by default: the POST endpoints mutate a live
+        render and write files, so exposure beyond the host must be an
+        explicit operator decision (``host="0.0.0.0"``)."""
         self._lock = threading.Lock()
         self._png = b""
         self._stats = {}
@@ -99,11 +102,17 @@ class PreviewServer:
                                 "application/json", 404)
                     return
                 args = {k: v[0] for k, v in parse_qs(url.query).items()}
+                # client-supplied paths must stay relative and inside cwd
+                p = args.get("path", "")
+                if p and (p.startswith(("/", "~")) or ".." in p):
+                    self._reply(b'{"error": "path must be relative"}',
+                                "application/json", 400)
+                    return
                 with server._lock:
                     server._commands.append((name, args))
                 self._reply(b'{"queued": true}', "application/json")
 
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         self.port = self._httpd.server_address[1]  # resolved when port=0

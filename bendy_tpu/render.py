@@ -230,18 +230,16 @@ class Renderer:
             raise ValueError("expected a camera object")
         world = obj.transform.world
         aspect = cam.aspect_ratio if aspect_override is None else aspect_override
-        vec = np.zeros((1, 32), np.float32)
-        vec[0, :6] = [
+        from bendy_tpu.ops.pallas_trace import pack_camera_host, unpack_camera
+
+        vec = pack_camera_host(
             cam.sensor_size, cam.focal_length, aspect, cam.fstop,
             -1.0 if cam.focus is None else cam.focus,
             2.0 * np.arctan2(cam.sensor_size, 2.0 * cam.focal_length),
-        ]
-        vec[0, 6:15] = np.asarray(world[:, :3], np.float32).reshape(-1)
-        vec[0, 15:18] = np.asarray(world[:, 3], np.float32)
+            world[:, :3], world[:, 3],
+        )
         key = vec.tobytes()
         if getattr(self, "_cam_key", None) != key:
-            from bendy_tpu.ops.pallas_trace import unpack_camera
-
             self._cam_packed = jnp.asarray(vec)  # the one transfer
             self._cam_params = unpack_camera(self._cam_packed)
             self._cam_key = key
