@@ -111,6 +111,17 @@ def main() -> None:
             f"on v5e-8: {proj:.1f}s",
             file=sys.stderr,
         )
+        # the north star measured for real (median of 3: ~6 s/pass)
+        rr = timed_render(
+            load_scene("scenes/blackhole.json.gz"), 1920, 1080, 256, 1,
+            Config(max_bounces=2), repeats=3,
+        )
+        results["blackhole_1080p_256spp"] = row(rr)
+        print(
+            f"blackhole 1080p@256spp real render: {rr['seconds_median']:.2f}s "
+            f"median on one chip ({rr['median']:.1f} Mrays/s)",
+            file=sys.stderr,
+        )
         with open("benches_results.json", "w") as f:
             json.dump(results, f, indent=2)
 

@@ -117,9 +117,11 @@ def main(argv=None) -> int:
     output = Output(args.output)
     geo = None
     if any(v is not None for v in (args.geo_eta, args.geo_max_steps, args.geo_far)):
-        from bendy_tpu.geodesic import GeoParams
+        from bendy_tpu.geodesic import geo_from_dict
 
-        defaults = GeoParams()
+        # flags overlay the scene file's "geodesic" block (which overlays
+        # the GeoParams defaults); untouched fields keep the scene's values
+        defaults = geo_from_dict(getattr(scene, "geodesic", None))
         geo = defaults._replace(
             **{
                 k: v

@@ -66,6 +66,26 @@ class GeoParams(NamedTuple):
     #   high-order ring images.
 
 
+def geo_from_dict(d: dict | None) -> GeoParams:
+    """GeoParams from a scene file's optional ``"geodesic"`` block.
+
+    The block is a plain mapping of GeoParams field overrides, e.g.
+    ``{"eta": 0.1, "max_steps": 512}`` — scene authors tune the
+    accuracy/speed trade per scene without touching code (the reference
+    schema is unaffected: serde ignores unknown top-level fields, so
+    scenes carrying the block still load in the Rust binary).
+    """
+    if not d:
+        return GeoParams()
+    bad = sorted(set(d) - set(GeoParams._fields))
+    if bad:
+        raise ValueError(
+            f"unknown geodesic parameter(s) {bad}; valid: {list(GeoParams._fields)}"
+        )
+    conv = {k: (int(v) if k == "max_steps" else float(v)) for k, v in d.items()}
+    return GeoParams()._replace(**conv)
+
+
 def mass_row(scn: SceneArrays, k: int) -> tuple[V3, jnp.ndarray]:
     c = scn.mass_center
     return V3(c[k, 0], c[k, 1], c[k, 2]), scn.mass_rs[k]

@@ -62,6 +62,7 @@ def camera_ray(
     si: jnp.ndarray,
     sj: jnp.ndarray,
     poly_trig: bool = False,
+    has_dof: bool = True,
 ) -> tuple[V3, V3]:
     """Generate one primary ray per lane from explicit coordinates.
 
@@ -103,7 +104,11 @@ def camera_ray(
         jnp.broadcast_to(cam.translation[2], u.shape),
     )
 
-    # thin-lens defocus (``tracer/mod.rs:286-302``)
+    # thin-lens defocus (``tracer/mod.rs:286-302``). ``has_dof=False`` is a
+    # *static* camera fact (focus is None): the whole block is dead code
+    # then, so it is dropped from the loop body rather than select-masked.
+    if not has_dof:
+        return origin, d_world
     neg_z = V3(jnp.zeros_like(u), jnp.zeros_like(u), jnp.full_like(u, -1.0))
     defocus = unit_disk(neg_z, uj[2], uj[3])
     aperture = 0.5 * cam.focal_length / cam.fstop

@@ -29,7 +29,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from bendy_tpu.scene.compiler import SceneArrays
+from bendy_tpu.scene.compiler import MAT_EMISSIVE, MAT_FLAT, SceneArrays
 from bendy_tpu.utils.v3 import V3
 
 INF = jnp.inf
@@ -103,6 +103,18 @@ def rect_t(org: V3, dir: V3, cmin, cmax, center: V3, xb: V3, yb: V3, zb: V3,
     return jnp.where(ok, t, INF), p
 
 
+def _prim_color(mtype, albedo: V3, emitted: V3) -> V3:
+    """The one rgb a primitive's shading can ever read: ``emitted`` for
+    terminating kinds (Flat emits its albedo, ``material.rs:76``; Emissive
+    its albedo·intensity), ``albedo`` for scattering kinds (whose emitted
+    is identically zero, ``material.rs:78``). Selecting between them at
+    *scalar* level (free: folds per primitive) halves the rgb selects the
+    sweep carries per primitive; the Hit record reconstitutes both fields
+    exactly with one [B] mask after the sweep."""
+    is_em = (mtype == MAT_FLAT) | (mtype == MAT_EMISSIVE)
+    return V3.where(is_em, emitted, albedo)
+
+
 def nearest_hit(
     org: V3,
     dir: V3,
@@ -112,6 +124,8 @@ def nearest_hit(
     march: Optional[jnp.ndarray] = None,
     last_sphere: Optional[jnp.ndarray] = None,
     propagate=None,
+    carry_specular: bool = True,
+    carry_volumes: bool = True,
 ) -> Hit:
     """Nearest hit across all primitives for each lane.
 
@@ -119,6 +133,11 @@ def nearest_hit(
     volumetric treatment (``sphere.rs:150-166``): if the point at t=cmax is
     still inside, an interior VOLUME event at t=cmax replaces that sphere's
     surface test.
+
+    ``carry_specular`` / ``carry_volumes`` are static scene facts: when no
+    primitive is Metallic/Glass (resp. carries a volume), the rough/ior
+    (resp. grid-binding) attributes are never read, so their per-primitive
+    winner selects are dropped and the Hit fields return placeholders.
     """
     B = org.x.shape
     zero = jnp.zeros(B, org.x.dtype)
@@ -136,10 +155,9 @@ def nearest_hit(
     c_zb = V3(zero, zero, zero)
     c_p = zero
     c_mtype = i0
-    c_alb = V3(zero, zero, zero)
+    c_color = V3(zero, zero, zero)
     c_rough = zero
     c_ior = zero + 1.0
-    c_emit = V3(zero, zero, zero)
     c_vgrid = i0 - 1
     c_vsize = V3(zero, zero, zero)
 
@@ -165,12 +183,18 @@ def nearest_hit(
         c_center = V3.where(better, center, c_center)
         c_radius = jnp.where(better, radius, c_radius)
         c_mtype = jnp.where(better, scn.sph_mtype[k], c_mtype)
-        c_alb = V3.where(better, row3(scn.sph_albedo, k), c_alb)
-        c_rough = jnp.where(better, scn.sph_rough[k], c_rough)
-        c_ior = jnp.where(better, scn.sph_ior[k], c_ior)
-        c_emit = V3.where(better, row3(scn.sph_emitted, k), c_emit)
-        c_vgrid = jnp.where(better, scn.sph_vol_grid[k], c_vgrid)
-        c_vsize = V3.where(better, row3(scn.sph_vol_size, k), c_vsize)
+        c_color = V3.where(
+            better,
+            _prim_color(scn.sph_mtype[k], row3(scn.sph_albedo, k),
+                        row3(scn.sph_emitted, k)),
+            c_color,
+        )
+        if carry_specular:
+            c_rough = jnp.where(better, scn.sph_rough[k], c_rough)
+            c_ior = jnp.where(better, scn.sph_ior[k], c_ior)
+        if carry_volumes:
+            c_vgrid = jnp.where(better, scn.sph_vol_grid[k], c_vgrid)
+            c_vsize = V3.where(better, row3(scn.sph_vol_size, k), c_vsize)
 
     for k in range(scn.n_rects):
         center = row3(scn.rct_center, k)
@@ -189,11 +213,17 @@ def nearest_hit(
         c_zb = V3.where(better, zb, c_zb)
         c_p = jnp.where(better, p_k, c_p)
         c_mtype = jnp.where(better, scn.rct_mtype[k], c_mtype)
-        c_alb = V3.where(better, row3(scn.rct_albedo, k), c_alb)
-        c_rough = jnp.where(better, scn.rct_rough[k], c_rough)
-        c_ior = jnp.where(better, scn.rct_ior[k], c_ior)
-        c_emit = V3.where(better, row3(scn.rct_emitted, k), c_emit)
-        c_vgrid = c_vgrid * keep_i - better_i
+        c_color = V3.where(
+            better,
+            _prim_color(scn.rct_mtype[k], row3(scn.rct_albedo, k),
+                        row3(scn.rct_emitted, k)),
+            c_color,
+        )
+        if carry_specular:
+            c_rough = jnp.where(better, scn.rct_rough[k], c_rough)
+            c_ior = jnp.where(better, scn.rct_ior[k], c_ior)
+        if carry_volumes:
+            c_vgrid = c_vgrid * keep_i - better_i
 
     valid = jnp.isfinite(t_best)
     position = org + dir * t_best
@@ -222,6 +252,15 @@ def nearest_hit(
     normal = V3.where(is_sph_b, s_normal, r_normal)
     face = jnp.where(valid, jnp.where(is_sph_b, s_face, r_face), FACE_MISS)
 
+    # reconstitute (albedo, emitted) from the merged color carry: emitted
+    # is the color for terminating kinds and zero for scattering kinds
+    # (exactly ``_emitted_of``); albedo is only ever read on scattering
+    # lanes, where color == albedo
+    emitting = ((c_mtype == MAT_FLAT) | (c_mtype == MAT_EMISSIVE)).astype(
+        org.x.dtype
+    )
+    c_emit = c_color * emitting
+
     return Hit(
         t=t_best,
         valid=valid,
@@ -229,7 +268,7 @@ def nearest_hit(
         normal=normal,
         face=face,
         mtype=c_mtype,
-        albedo=c_alb,
+        albedo=c_color,
         rough=c_rough,
         ior=c_ior,
         emitted=c_emit,

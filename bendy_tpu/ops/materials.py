@@ -103,59 +103,85 @@ def shade_surface(
     u: Sequence[jnp.ndarray],
     clip_min: float,
     clip_max: float,
+    has_diffuse: bool = True,
+    has_specular: bool = True,
 ) -> Shade:
-    """Shade surface-face lanes; volume faces are handled by ops.volume."""
+    """Shade surface-face lanes; volume faces are handled by ops.volume.
+
+    ``has_diffuse`` / ``has_specular`` are *static* scene facts (derived by
+    the renderer from the compiled primitive materials): a branch whose
+    material kind no primitive carries never wins a select, so skipping it
+    is exact — it only removes per-iteration VPU work. The diffuse branch
+    is the expensive one (light-point sampling + light pdf are full sweeps
+    over the light list, every iteration).
+    """
     B = dir_in.x.shape
     n = hit.normal
     pos = hit.position
     albedo = hit.albedo
     emitted = hit.emitted
-    cmin = jnp.full(B, clip_min, dir_in.x.dtype)
-    cmax = jnp.full(B, clip_max, dir_in.x.dtype)
+    mtype = hit.mtype
 
     # --- diffuse: mixture of cosine BSDF and next-event light sampling ----
-    nl = scn.n_lights
-    scaled = u[0] * nl
-    light_idx = jnp.clip(scaled.astype(jnp.int32), 0, nl - 1)
-    u_face = scaled - jnp.floor(scaled)  # independent uniform given the pick
-    d_cos = distr.cosine_hemisphere(n, u[2], u[3])
-    lp = sample_light_point(scn, light_idx, u[4], u[5], u_face)
-    d_light = (lp - pos).normalize()
-    # gen_bool(0.5) picks the light branch (``material.rs:269-274`` with x=0.5)
-    pick_light = u[1] < 0.5
-    d_diff = V3.where(pick_light, d_light, d_cos)
-    pdf_cos = n.dot(d_diff) * (1.0 / jnp.pi)  # signed (``material.rs:301-303``)
-    pdf_light = light_pdf(pos, d_diff, cmin, cmax, scn, light_idx)
-    pdf_mix = pdf_cos + (pdf_light - pdf_cos) * 0.5  # lerp(a,b,0.5) (``material.rs:294-297``)
-    absorbed = jnp.abs(pdf_mix) <= 1e-5  # (``material.rs:279-286``)
-    pdf_mix_safe = jnp.where(absorbed, 1.0, pdf_mix)
-    w_diff = albedo * (pdf_cos / pdf_mix_safe)
+    if has_diffuse:
+        cmin = jnp.full(B, clip_min, dir_in.x.dtype)
+        cmax = jnp.full(B, clip_max, dir_in.x.dtype)
+        nl = scn.n_lights
+        scaled = u[0] * nl
+        light_idx = jnp.clip(scaled.astype(jnp.int32), 0, nl - 1)
+        u_face = scaled - jnp.floor(scaled)  # independent uniform given the pick
+        d_cos = distr.cosine_hemisphere(n, u[2], u[3])
+        lp = sample_light_point(scn, light_idx, u[4], u[5], u_face)
+        d_light = (lp - pos).normalize()
+        # gen_bool(0.5) picks the light branch (``material.rs:269-274`` with x=0.5)
+        pick_light = u[1] < 0.5
+        d_diff = V3.where(pick_light, d_light, d_cos)
+        pdf_cos = n.dot(d_diff) * (1.0 / jnp.pi)  # signed (``material.rs:301-303``)
+        pdf_light = light_pdf(pos, d_diff, cmin, cmax, scn, light_idx)
+        pdf_mix = pdf_cos + (pdf_light - pdf_cos) * 0.5  # lerp(a,b,0.5) (``material.rs:294-297``)
+        absorbed = jnp.abs(pdf_mix) <= 1e-5  # (``material.rs:279-286``)
+        pdf_mix_safe = jnp.where(absorbed, 1.0, pdf_mix)
+        w_diff = albedo * (pdf_cos / pdf_mix_safe)
 
-    # --- metallic: mirror + fuzz, unit weight --------------------------
-    fuzz = distr.unit_hemisphere(n, u[2], u[3])
-    d_metal = (dir_in.reflect(n) + fuzz * hit.rough).normalize()
+    if has_specular:
+        # --- metallic: mirror + fuzz, unit weight --------------------------
+        fuzz = distr.unit_hemisphere(n, u[2], u[3])
+        d_metal = (dir_in.reflect(n) + fuzz * hit.rough).normalize()
 
-    # --- glass: probabilistic reflect/refract + fuzz --------------------
-    is_front = (hit.face == FACE_FRONT) | (hit.face == FACE_VOLUME_FRONT)
-    ior_eff = jnp.where(is_front, 1.0 / hit.ior, hit.ior)
-    cos_theta = jnp.minimum((-dir_in).dot(n), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-    fr = dir_in.fresnel(n, ior_eff)
-    do_reflect = (ior_eff * sin_theta > 1.0) | (u[1] < fr)
-    d_glass_base = V3.where(do_reflect, dir_in.reflect(n), dir_in.refract(n, ior_eff))
-    d_glass = (d_glass_base + fuzz * hit.rough).normalize()
+        # --- glass: probabilistic reflect/refract + fuzz --------------------
+        is_front = (hit.face == FACE_FRONT) | (hit.face == FACE_VOLUME_FRONT)
+        ior_eff = jnp.where(is_front, 1.0 / hit.ior, hit.ior)
+        cos_theta = jnp.minimum((-dir_in).dot(n), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        fr = dir_in.fresnel(n, ior_eff)
+        do_reflect = (ior_eff * sin_theta > 1.0) | (u[1] < fr)
+        d_glass_base = V3.where(do_reflect, dir_in.reflect(n), dir_in.refract(n, ior_eff))
+        d_glass = (d_glass_base + fuzz * hit.rough).normalize()
 
     # --- select by material type ----------------------------------------
-    mtype = hit.mtype
-    scatter = (
-        ((mtype == MAT_DIFFUSE) & ~absorbed)
-        | (mtype == MAT_METALLIC)
-        | (mtype == MAT_GLASS)
-    )
-    direction = V3.where(
-        mtype == MAT_DIFFUSE, d_diff, V3.where(mtype == MAT_METALLIC, d_metal, d_glass)
-    )
-    weight = V3.where(mtype == MAT_DIFFUSE, w_diff, albedo)
+    if has_diffuse and has_specular:
+        scatter = (
+            ((mtype == MAT_DIFFUSE) & ~absorbed)
+            | (mtype == MAT_METALLIC)
+            | (mtype == MAT_GLASS)
+        )
+        direction = V3.where(
+            mtype == MAT_DIFFUSE, d_diff, V3.where(mtype == MAT_METALLIC, d_metal, d_glass)
+        )
+        weight = V3.where(mtype == MAT_DIFFUSE, w_diff, albedo)
+    elif has_diffuse:
+        scatter = (mtype == MAT_DIFFUSE) & ~absorbed
+        direction = d_diff
+        weight = w_diff
+    elif has_specular:
+        scatter = (mtype == MAT_METALLIC) | (mtype == MAT_GLASS)
+        direction = V3.where(mtype == MAT_METALLIC, d_metal, d_glass)
+        weight = albedo
+    else:
+        # flat/emissive-only scene: every surface event terminates
+        scatter = jnp.zeros(B, bool)
+        direction = dir_in
+        weight = V3.zeros(B)
     weight = V3.where(scatter, weight, V3.zeros(B))
 
     # --- AOVs -------------------------------------------------------------

@@ -90,6 +90,15 @@ class TraceConfig(NamedTuple):
     frustum_poly: bool = False  # static: FOV bounds the frustum angles
     #   under ~1.2 rad -> range-free polynomial sin/cos in camera_ray
     geo: "GeoParams" = None  # type: ignore[assignment]
+    # Static scene specialization (Renderer derives these from the compiled
+    # scene + camera). Branches whose material kinds are absent from the
+    # scene are dead code for every lane, so dropping them cannot change the
+    # image — it only removes per-iteration VPU work. Measured: the diffuse
+    # next-event machinery (light sweep + light pdf) dominates the shade
+    # block, so no-diffuse scenes (the lensed showcase) gain the most.
+    has_diffuse: bool = True  # any Diffuse material on a primitive
+    has_specular: bool = True  # any Metallic/Glass material on a primitive
+    has_dof: bool = True  # camera has a focus distance (thin-lens defocus)
     want_aovs: bool = True  # static: False drops the whole AOV pipeline from
     #   the loop carry (13 [B] arrays + claim logic) for FULL-only renders
 
@@ -291,7 +300,7 @@ def trace_core(
         px, py, si, sj = lane_coords()
         cam_org, cam_dir = camera_ray(
             cam, width, height, n, key, sid, px, py, si, sj,
-            poly_trig=cfg.frustum_poly,
+            poly_trig=cfg.frustum_poly, has_dof=cfg.has_dof,
         )
         org = V3.where(regen, cam_org, s.org)
         dirv = V3.where(regen, cam_dir, s.dir)
@@ -348,6 +357,8 @@ def trace_core(
             org, trace_dir, cmin, cmax, scn,
             march=march if cfg.has_volumes else None,
             last_sphere=s.last_sph if cfg.has_volumes else None,
+            carry_specular=cfg.has_specular,
+            carry_volumes=cfg.has_volumes,
         )
 
         miss = alive & ~hit.valid
@@ -356,8 +367,15 @@ def trace_core(
             miss = miss & ~near  # environment only in flat space
         surf = alive & hit.valid & ((hit.face == FACE_FRONT) | (hit.face == FACE_BACK))
 
-        u = lane_uniforms(key, sid, path_step, N_UNIFORMS)
-        sh = shade_surface(trace_dir, hit, scn, u, cfg.clip_min, cfg.clip_max)
+        # the diffuse branch draws 6 uniforms (slots 4,5 = light point);
+        # without it slots 0-3 suffice — one pcg4d call instead of two,
+        # and the shared slots keep their values (same first hash block)
+        n_u = N_UNIFORMS if cfg.has_diffuse else 4
+        u = lane_uniforms(key, sid, path_step, n_u)
+        sh = shade_surface(
+            trace_dir, hit, scn, u, cfg.clip_min, cfg.clip_max,
+            has_diffuse=cfg.has_diffuse, has_specular=cfg.has_specular,
+        )
         env_color, env_alb, env_nrm, env_dep = _env_terms(scn, trace_dir, cfg.clip_max)
 
         # === radiance & throughput =========================================

@@ -193,6 +193,14 @@ class Renderer:
         self.has_masses = any(
             o.tag is not None and o.tag.startswith("mass:") for o in scene.iter()
         )
+        # static material facts: branches for kinds no primitive carries are
+        # dead code in every lane, so the integrator drops them (exact)
+        host = self.arrays.host_copy()
+        mtypes = set(host.sph_mtype.tolist()) | set(host.rct_mtype.tolist())
+        from bendy_tpu.scene.compiler import MAT_DIFFUSE, MAT_GLASS, MAT_METALLIC
+
+        self.has_diffuse = MAT_DIFFUSE in mtypes
+        self.has_specular = MAT_METALLIC in mtypes or MAT_GLASS in mtypes
 
     @property
     def rays_traced(self) -> float:
@@ -249,6 +257,7 @@ class Renderer:
         if cfg.vol_sampling not in ("trilinear", "nearest"):
             raise ValueError(f"unknown vol_sampling {cfg.vol_sampling!r}")
         frustum_poly = False
+        has_dof = True
         if camera_ref is not None:
             cam = self.scene.get_object(camera_ref).as_camera()
             if cam is not None:
@@ -256,6 +265,10 @@ class Renderer:
                 # frustum angles are bounded by max(yfov, xfov)/2 (+jitter);
                 # below ~1.2 rad the polynomial sin/cos is exact to f32
                 frustum_poly = 0.5 * yfov * max(1.0, cam.aspect_ratio) * 1.05 < 1.2
+                # focus=None is a static camera fact: the thin-lens block
+                # drops out of the loop body (changing it rebuilds, as any
+                # TraceConfig change does)
+                has_dof = cam.focus is not None and cam.focus > 0.0
         return TraceConfig(
             max_bounces=cfg.max_bounces,
             max_volume_bounces=cfg.max_volume_bounces,
@@ -266,11 +279,25 @@ class Renderer:
             frustum_poly=frustum_poly,
             has_volumes=self.has_volumes,
             geodesic=self.has_masses,
-            geo=cfg.geo,
+            # precedence: explicit Config.geo (API/CLI) > scene-file
+            # "geodesic" block > GeoParams defaults
+            geo=cfg.geo if cfg.geo is not None else self._scene_geo(),
+            has_diffuse=self.has_diffuse,
+            has_specular=self.has_specular,
+            has_dof=has_dof,
             # the AOV pipeline (13 extra loop-carry arrays) compiles only
             # when an AOV channel is actually requested
             want_aovs=cfg.output is not Output.FULL,
         )
+
+    def _scene_geo(self):
+        """GeoParams from the scene file's 'geodesic' block, or None."""
+        block = getattr(self.scene, "geodesic", None)
+        if not block:
+            return None
+        from bendy_tpu.geodesic import geo_from_dict
+
+        return geo_from_dict(block)
 
     def render(
         self,

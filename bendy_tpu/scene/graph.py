@@ -407,6 +407,10 @@ class Scene:
         self._next_object_key = 0
         self._next_data_key = 0
         self.root_material = self.add_data(Data(Material.flat((0.0, 0.0, 0.0))))
+        # optional per-scene geodesic-integration overrides (a mapping of
+        # GeoParams fields, carried in the scene file's "geodesic" block —
+        # an extension; the reference schema has no geodesic capability)
+        self.geodesic: Optional[dict] = None
 
     def add_object(self, obj: Object) -> int:
         key = self._next_object_key

@@ -244,6 +244,12 @@ def scene_from_dict(doc: dict) -> Scene:
 
     scene._next_object_key = doc["objects"]["next_key"]
     scene._next_data_key = doc["data"]["next_key"]
+    # extension block: per-scene geodesic overrides (validated eagerly so a
+    # typo fails at load, not mid-render)
+    from bendy_tpu.geodesic import geo_from_dict
+
+    scene.geodesic = doc.get("geodesic")
+    geo_from_dict(scene.geodesic)
     return scene
 
 
@@ -271,12 +277,15 @@ def scene_to_dict(scene: Scene) -> dict:
         else:
             inner = {"Volume": _volume_to_json(entry.as_volume())}
         data[str(key)] = {"inner": inner}
-    return {
+    doc = {
         "roots": scene.roots,
         "root_material": scene.root_material,
         "objects": {"collection": objects, "next_key": scene._next_object_key},
         "data": {"collection": data, "next_key": scene._next_data_key},
     }
+    if getattr(scene, "geodesic", None):
+        doc["geodesic"] = scene.geodesic
+    return doc
 
 
 def loads_scene(text: str) -> Scene:

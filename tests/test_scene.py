@@ -159,3 +159,67 @@ def test_save_load_file(tmp_path):
         assert ball.inner.radius == pytest.approx(2.0)
         assert ball.has_flags(ObjectFlags.LIGHT)
         np.testing.assert_allclose(ball.transform.world[:, 3], [0, 1, 0])
+
+
+# -- per-scene geodesic overrides (extension block) ---------------------------
+
+
+def _mass_scene() -> Scene:
+    scene = Scene()
+    env = scene.add_data(Data(Material.emissive((1, 1, 1), 0.1)))
+    scene.set_root_material(env)
+    scene.add_object(Object().with_tag("mass:1.0"))
+    scene.add_object(
+        Object(Camera(focus=None)).with_tag("camera").with_translation([0, 0, 10.0])
+    )
+    return scene
+
+
+def test_geodesic_block_round_trips():
+    scene = _mass_scene()
+    scene.geodesic = {"eta": 0.1, "max_steps": 64}
+    again = loads_scene(dumps_scene(scene))
+    assert again.geodesic == {"eta": 0.1, "max_steps": 64}
+    # absent block stays absent (and out of the serialized doc)
+    plain = Scene()
+    assert "geodesic" not in scene_to_dict(plain)
+    assert loads_scene(dumps_scene(plain)).geodesic is None
+
+
+def test_geodesic_block_rejects_unknown_keys():
+    scene = _mass_scene()
+    scene.geodesic = {"etaa": 0.1}
+    with pytest.raises(ValueError, match="etaa"):
+        loads_scene(dumps_scene(scene))
+
+
+def test_geodesic_block_configures_renderer():
+    from bendy_tpu.geodesic import GeoParams
+    from bendy_tpu.render import Config, Renderer
+
+    scene = _mass_scene()
+    scene.geodesic = {"eta": 0.11, "max_steps": 48}
+    r = Renderer(scene, Config(), use_pallas=False)
+    geo = r.trace_config(r.config, scene.find_by_tag("camera")).geo
+    assert geo == GeoParams()._replace(eta=0.11, max_steps=48)
+    # an explicit Config.geo wins wholesale
+    override = GeoParams(eta=0.5)
+    r2 = Renderer(scene, Config(geo=override), use_pallas=False)
+    assert r2.trace_config(r2.config).geo == override
+
+
+def test_geodesic_cli_flags_overlay_scene_block(tmp_path):
+    from bendy_tpu import cli
+
+    scene = _mass_scene()
+    scene.geodesic = {"eta": 0.12, "max_steps": 40, "far": 50.0}
+    path = str(tmp_path / "mass_scene.json")
+    from bendy_tpu.scene import save_scene
+
+    save_scene(path, scene)
+    shot = str(tmp_path / "out.png")
+    rc = cli.main([
+        "--scene", path, "--screenshot", shot, "--width", "8", "--height", "8",
+        "--samples", "2", "--subsample", "1", "--geo-eta", "0.3",
+    ])
+    assert rc == 0
