@@ -280,6 +280,23 @@ def nearest_hit(
     )
 
 
+def static_int(arr, idx):
+    """Concrete value when ``arr`` is a host constant, else None.
+
+    The Pallas megakernel bakes the compiled scene as numpy constants
+    (ops/pallas_trace.py), so per-light discrete facts (kind, face
+    validity) are known at trace time there and wrong-kind branches can
+    be pruned in Python — the selected values are unchanged, only the
+    never-selected computation disappears. Under jit (traced arrays)
+    this returns None and the generic masked form runs.
+    """
+    import numpy as np
+
+    if isinstance(arr, np.ndarray):
+        return arr[idx].item()
+    return None
+
+
 def light_pdf(
     org: V3,
     dir: V3,
@@ -301,16 +318,23 @@ def light_pdf(
     for li in range(scn.n_lights):
         sel = light_idx == li
         kind = scn.light_kind[li]
+        kind_c = static_int(scn.light_kind, li)
 
-        t_s = sphere_t(org, dir, cmin, cmax,
-                       row3(scn.light_sph_center, li), scn.light_sph_radius[li])
-        r = scn.light_sph_radius[li]
-        pdf_sphere = jnp.where(jnp.isfinite(t_s), t_s * t_s / (jnp.pi * r * r), 0.0)
+        if kind_c != 1:  # sphere pdf needed (or kind unknown at trace time)
+            t_s = sphere_t(org, dir, cmin, cmax,
+                           row3(scn.light_sph_center, li), scn.light_sph_radius[li])
+            r = scn.light_sph_radius[li]
+            pdf_sphere = jnp.where(jnp.isfinite(t_s), t_s * t_s / (jnp.pi * r * r), 0.0)
+        if kind_c == 0:
+            pdf = jnp.where(sel, pdf_sphere, pdf)
+            continue
 
         t_b = jnp.full(B, INF, org.x.dtype)
         q_b = jnp.ones(B, org.x.dtype)
         area_b = jnp.ones(B, org.x.dtype)
         for f in range(scn.light_face_cdf.shape[1]):
+            if static_int(scn.light_face_valid, (li, f)) is False:
+                continue
             zb = V3(scn.light_face_z[li, f, 0], scn.light_face_z[li, f, 1],
                     scn.light_face_z[li, f, 2])
             t_f, _ = rect_t(
@@ -338,5 +362,8 @@ def light_pdf(
         # orientation irrelevant (``rect.rs:101``)
         pdf_rect = jnp.where(jnp.isfinite(t_b), t_b * t_b / (area_b * jnp.abs(q_b)), 0.0)
 
-        pdf = jnp.where(sel, jnp.where(kind == 0, pdf_sphere, pdf_rect), pdf)
+        if kind_c == 1:
+            pdf = jnp.where(sel, pdf_rect, pdf)
+        else:  # kind unknown at trace time: generic masked select
+            pdf = jnp.where(sel, jnp.where(kind == 0, pdf_sphere, pdf_rect), pdf)
     return pdf

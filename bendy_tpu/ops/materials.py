@@ -64,18 +64,29 @@ def sample_light_point(scn: SceneArrays, light_idx: jnp.ndarray,
 
     Static loop over lights; per-light faces are scalar slices.
     """
+    from bendy_tpu.ops.intersect import static_int
+
     B = u_a.shape
-    usphere = distr.unit_sphere(u_a, u_b)
+    kinds_c = [static_int(scn.light_kind, li) for li in range(scn.n_lights)]
+    if any(k != 1 for k in kinds_c):  # a sphere light exists (or unknown)
+        usphere = distr.unit_sphere(u_a, u_b)
     out = V3.zeros(B)
     for li in range(scn.n_lights):
         sel = light_idx == li
-        p_sphere = row3(scn.light_sph_center, li) + usphere * scn.light_sph_radius[li]
+        kind_c = kinds_c[li]
+        if kind_c != 1:
+            p_sphere = row3(scn.light_sph_center, li) + usphere * scn.light_sph_radius[li]
+        if kind_c == 0:
+            out = V3.where(sel, p_sphere, out)
+            continue
 
         nf = scn.light_face_cdf.shape[1]
         # first face whose cdf exceeds u_face
         remaining = jnp.ones(B, bool)
         p_rect = V3.zeros(B)
         for f in range(nf):
+            if static_int(scn.light_face_valid, (li, f)) is False:
+                continue
             cdf = scn.light_face_cdf[li, f]
             pick = remaining & (u_face < cdf) & scn.light_face_valid[li, f]
             remaining = remaining & ~pick
@@ -91,8 +102,10 @@ def sample_light_point(scn: SceneArrays, light_idx: jnp.ndarray,
             )
             p_rect = V3.where(pick, p_f, p_rect)
 
-        p_li = V3.where(scn.light_kind[li] == 0, p_sphere, p_rect)
-        out = V3.where(sel, p_li, out)
+        if kind_c == 1:
+            out = V3.where(sel, p_rect, out)
+        else:  # kind unknown at trace time: generic masked select
+            out = V3.where(sel, V3.where(scn.light_kind[li] == 0, p_sphere, p_rect), out)
     return out
 
 

@@ -52,7 +52,11 @@ from bendy_tpu.scene.graph import (
     transform_vector,
 )
 
-MAX_LIGHT_FACES = 6  # a cuboid light contributes 6 faces
+MAX_LIGHT_FACES = 6  # a cuboid light contributes 6 faces (upper bound; the
+#   compiled face axis F is sized to the scene's actual max — every bundled
+#   scene has single-face rect or sphere lights, so F is usually 1, and the
+#   per-iteration light sweeps in ops/intersect.light_pdf and
+#   ops/materials.sample_light_point shrink with it)
 
 MAT_FLAT = 0
 MAT_DIFFUSE = 1
@@ -345,7 +349,14 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
     # lights
     lights = [(ref, obj) for ref, obj in scene.pairs() if obj.has_flags(ObjectFlags.LIGHT)]
     L = max(1, len(lights))
-    F = MAX_LIGHT_FACES
+    F = max(
+        [1]
+        + [
+            len(obj.inner.faces) if isinstance(obj.inner, Cuboid) else 1
+            for _, obj in lights
+            if isinstance(obj.inner, (Rect, Cuboid))
+        ]
+    )
     lk = np.zeros(L, np.int32)
     lsc = np.zeros((L, 3), np.float32)
     lsr = np.ones(L, np.float32)
