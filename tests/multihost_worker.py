@@ -1,10 +1,11 @@
-"""Worker process for the 2-process jax.distributed test.
+"""Worker process for the multi-process jax.distributed tests.
 
 Launched by tests/test_multihost.py with a private coordinator port;
-each process owns 4 virtual CPU devices (8 global), initializes the
-distributed runtime through bendy_tpu.parallel.multihost, renders one
-sharded pass over the full 8-device mesh, gathers the film to every
-process, and process 0 writes it to disk for the parent to compare.
+each of ``nproc`` processes owns ``local_devices`` virtual CPU devices
+(8 global in every configuration), initializes the distributed runtime
+through bendy_tpu.parallel.multihost, renders one sharded pass over the
+full 8-device mesh, gathers the film to every process, and process 0
+writes it to disk for the parent to compare.
 """
 
 import os
@@ -16,6 +17,7 @@ def main() -> int:
     nproc = int(sys.argv[2])
     port = sys.argv[3]
     out_path = sys.argv[4]
+    local_devices = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
     import jax
 
@@ -23,8 +25,8 @@ def main() -> int:
 
     initialize(coordinator=f"localhost:{port}", num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc, jax.process_count()
-    assert len(jax.local_devices()) == 4, jax.local_devices()
-    assert jax.device_count() == 8, jax.device_count()
+    assert len(jax.local_devices()) == local_devices, jax.local_devices()
+    assert jax.device_count() == nproc * local_devices, jax.device_count()
 
     import jax.numpy as jnp
     import numpy as np
@@ -41,7 +43,7 @@ def main() -> int:
     cfg = r.trace_config(r.config)
 
     W = H = 16
-    mesh = make_mesh(4, 2)  # spans both processes
+    mesh = make_mesh(4, 2)  # spans all processes
     sums, rays = render_pass_sharded(
         r.arrays, cam, jnp.uint32(3), jnp.uint32(0), mesh,
         W, H, 2, 1, cfg, "full",
