@@ -14,7 +14,10 @@ Additions over the reference CLI (marked [+]):
   counter) for exact restarts — the reference only saved tonemapped PNGs,
 - ``--save-scene``: round-trip the scene back to (gzipped) JSON,
 - ``--seed``: deterministic renders (the reference is entropy-seeded),
-- ``--preview-every N``: write intermediate PNGs during long renders.
+- ``--preview-every N``: write intermediate PNGs during long renders,
+- ``--turntable N``: orbit animation (camera pose is a traced input, so
+  the N frames share one compiled kernel),
+- ``POST /camera`` on the preview server: move/aim the live camera.
 """
 
 from __future__ import annotations
@@ -68,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RK4 step budget per path")
     p.add_argument("--geo-far", type=float, default=None,
                    help="flat-space switchover radius in units of rs")
+    p.add_argument("--turntable", type=int, default=0, metavar="N",
+                   help="render N frames orbiting the camera around the scene "
+                        "origin (one compiled kernel; camera pose is traced, "
+                        "so frames never recompile); writes <screenshot>_###.png")
     p.add_argument("--mesh", default=None, metavar="TILESxSAMPLES",
                    help="render across a device mesh, e.g. 4x2 (shard_map)")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -172,6 +179,9 @@ def main(argv=None) -> int:
     if args.mesh:
         return render_sharded_oneshot(args, scene, camera, output, subsample)
 
+    if args.turntable:
+        return render_turntable(args, scene, renderer, camera, film, rc, max_samples)
+
     server = None
     if args.serve:
         from bendy_tpu.preview import PreviewServer
@@ -268,10 +278,69 @@ def handle_command(name, cargs, args, scene, renderer, camera, film):
         path = cargs.get("path") or args.checkpoint or "film_checkpoint.npz"
         film.save_checkpoint(path, seed=args.seed)
         print(f"checkpoint written to {path}", file=sys.stderr)
+    elif name == "camera":  # [+] move/aim the live camera; film restarts
+        obj = scene.get_object(camera)
+        world = obj.transform.world
+        eye = [float(cargs.get(k, world[i, 3])) for i, k in enumerate("xyz")]
+        if any(k in cargs for k in ("tx", "ty", "tz")):
+            from bendy_tpu.scene.graph import affine_look_at
+
+            target = [float(cargs.get("t" + k, 0.0)) for k in "xyz"]
+            obj.transform.set_world(affine_look_at(eye, target))
+        else:
+            world = world.copy()
+            world[:, 3] = eye
+            obj.transform.set_world(world)
+        film.clear()
+        # camera pose is a traced input: the next pass reuses the compiled
+        # kernel (Renderer.camera_params re-packs the [1,32] buffer)
+        print(f"camera moved to {eye}; film cleared", file=sys.stderr)
     elif name == "stop":
         stopped = True
         print("stop requested; finishing up", file=sys.stderr)
     return scene, renderer, camera, stopped
+
+
+def render_turntable(args, scene, renderer, camera, film, rc, max_samples) -> int:
+    """[+] N-frame orbit animation around the scene origin.
+
+    The orbit keeps the camera's initial height and distance and aims at
+    the origin each frame. Camera pose is a *traced* kernel input (the
+    packed [1,32] buffer, ops/pallas_trace.pack_camera), so all frames
+    after the first reuse the compiled kernel — per-frame cost is pure
+    render time. Frames go to <screenshot>_###.png.
+    """
+    import math
+
+    import numpy as np
+
+    from bendy_tpu.scene.graph import affine_look_at
+
+    obj = scene.get_object(camera)
+    eye0 = np.asarray(obj.transform.world[:, 3], np.float64)
+    radius = math.hypot(eye0[0], eye0[2])
+    if radius < 1e-9:
+        print("error: camera sits on the orbit axis (y); move it first",
+              file=sys.stderr)
+        return 2
+    phase = math.atan2(eye0[0], eye0[2])
+    base, ext = os.path.splitext(args.screenshot)
+    start = time.time()
+    for i in range(args.turntable):
+        a = phase + 2.0 * math.pi * i / args.turntable
+        eye = (radius * math.sin(a), eye0[1], radius * math.cos(a))
+        obj.transform.set_world(affine_look_at(eye, (0.0, 0.0, 0.0)))
+        film.clear()
+        t0 = time.time()
+        while film.samples < max_samples:
+            renderer.render(camera, rc, film, seed=args.seed + i)
+        _write_png(f"{base}_{i:03d}{ext}", film)
+        print(f"frame {i + 1}/{args.turntable}: {time.time() - t0:.2f}s",
+              file=sys.stderr)
+    total = time.time() - start
+    print(f"turntable: {args.turntable} frames in {total:.2f}s "
+          f"({total / args.turntable:.2f}s/frame)", file=sys.stderr)
+    return 0
 
 
 def render_sharded_oneshot(args, scene, camera, output, subsample) -> int:

@@ -16,6 +16,10 @@ so the equivalent is a tiny zero-dependency HTTP server:
     POST /resize?width=W&height=H   resize film + camera aspect
                                                         (main.rs:337-348)
     POST /checkpoint   persist the raw film checkpoint now
+    POST /camera?x=&y=&z=[&tx=&ty=&tz=]   move the camera (optionally
+                       aim it at a target point) + clear the film —
+                       camera pose is a traced input, so this never
+                       recompiles the kernel
     POST /stop         finish the current pass and exit cleanly
 
 POSTs enqueue commands; the render loop drains them between passes (the
@@ -57,7 +61,8 @@ setInterval(tick, 1000); window.onload = tick;
 <img id=f src=/frame.png></body></html>
 """
 
-_COMMANDS = ("screenshot", "save-scene", "reload-scene", "checkpoint", "stop", "resize")
+_COMMANDS = ("screenshot", "save-scene", "reload-scene", "checkpoint", "stop",
+             "resize", "camera")
 
 
 class PreviewServer:

@@ -60,6 +60,32 @@ def affine_inverse(a: np.ndarray) -> np.ndarray:
     return out
 
 
+def affine_look_at(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Camera affine at ``eye`` with −Z (the frustum axis,
+    ``src/tracer/ray.rs:103-113``) pointing at ``target``.
+
+    Columns are the camera's world basis (x=right, y=up, z=backward);
+    degenerate forward/up pairs fall back to a Z-axis up.
+    """
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    n = np.linalg.norm(fwd)
+    if n < 1e-12:
+        raise ValueError("look_at: eye and target coincide")
+    fwd = fwd / n
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    if np.linalg.norm(right) < 1e-9:  # forward ∥ up
+        right = np.cross(fwd, (0.0, 0.0, 1.0))
+    right = right / np.linalg.norm(right)
+    up2 = np.cross(right, fwd)
+    a = affine_identity()
+    a[:, 0] = right
+    a[:, 1] = up2
+    a[:, 2] = -fwd
+    a[:, 3] = eye
+    return a
+
+
 def transform_point(a: np.ndarray, p) -> np.ndarray:
     return a[:, :3] @ np.asarray(p, dtype=np.float64) + a[:, 3]
 

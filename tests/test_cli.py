@@ -115,3 +115,18 @@ def test_cli_serve_control_loop(tmp_path):
     assert not t.is_alive(), "render loop did not stop"
     assert rc["rc"] == 0
     assert (tmp_path / "shot.png").exists()
+
+
+def test_cli_turntable(tmp_path):
+    """[+] --turntable N renders N orbit frames to <screenshot>_###.png."""
+    # the sphere showcase scene is visible from every orbit azimuth
+    # (emissive environment); the cornell box is only open on one side
+    assert main(_args(tmp_path, **{"--turntable": "2", "--width": "8",
+                                   "--height": "8", "--samples": "1",
+                                   "--scene": "scenes/scene.json.gz"})) == 0
+    from PIL import Image
+
+    for i in range(2):
+        p = tmp_path / f"shot_{i:03d}.png"
+        assert p.exists()
+        assert np.asarray(Image.open(p)).mean() > 1  # not black

@@ -6,6 +6,7 @@ import json
 import urllib.request
 
 import numpy as np
+import pytest
 
 from bendy_tpu.film import Film
 from bendy_tpu.preview import PreviewServer
@@ -107,3 +108,54 @@ def test_preview_server_roundtrip():
         assert b"bendy-tpu" in page
     finally:
         srv.close()
+
+
+def test_camera_command_moves_and_aims(tmp_path):
+    """[+] POST /camera: translation-only keeps the rotation; with a
+    target it aims -Z at the target; both clear the film."""
+    import argparse
+
+    from bendy_tpu.cli import handle_command
+    from bendy_tpu.render import Config, Renderer
+    from bendy_tpu.scene import load_scene
+
+    scene = load_scene("scenes/cornell.json.gz")
+    camera = scene.find_by_tag("camera")
+    renderer = Renderer(scene, Config(max_bounces=1), use_pallas=False)
+    film = Film(8, 8)
+    film.add_pass(np.ones((8, 8, 3), np.float32), 1)
+    args = argparse.Namespace(scene="x", screenshot="y", save_scene=None,
+                              checkpoint=None, seed=0)
+
+    rot_before = np.array(scene.get_object(camera).transform.world[:, :3])
+    handle_command("camera", {"x": "1.5", "y": "2.0"}, args, scene, renderer,
+                   camera, film)
+    w = scene.get_object(camera).transform.world
+    assert film.samples == 0  # film cleared
+    np.testing.assert_allclose(w[:, :3], rot_before)  # rotation kept
+    assert (w[0, 3], w[1, 3]) == (1.5, 2.0)
+
+    film.add_pass(np.ones((8, 8, 3), np.float32), 1)
+    handle_command("camera", {"x": "0", "y": "0", "z": "5", "tx": "0",
+                              "ty": "0", "tz": "0"}, args, scene, renderer,
+                   camera, film)
+    w = scene.get_object(camera).transform.world
+    assert film.samples == 0
+    # -Z column points from eye toward the target (origin)
+    np.testing.assert_allclose(-w[:, 2], [0, 0, -1], atol=1e-12)
+    # orthonormal basis
+    np.testing.assert_allclose(w[:, :3].T @ w[:, :3], np.eye(3), atol=1e-12)
+
+
+def test_affine_look_at():
+    from bendy_tpu.scene.graph import affine_look_at
+
+    a = affine_look_at((3.0, 1.0, 2.0), (0.0, 1.0, 2.0))
+    np.testing.assert_allclose(-a[:, 2], [-1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(a[:, :3].T @ a[:, :3], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(a[:, 3], [3, 1, 2])
+    # straight-down forward degenerates vs. the default up: falls back
+    a = affine_look_at((0.0, 5.0, 0.0), (0.0, 0.0, 0.0))
+    np.testing.assert_allclose(a[:, :3].T @ a[:, :3], np.eye(3), atol=1e-12)
+    with pytest.raises(ValueError):
+        affine_look_at((1.0, 1.0, 1.0), (1.0, 1.0, 1.0))
