@@ -40,7 +40,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from bendy_tpu.scene.compiler import SceneArrays
-from bendy_tpu.utils.v3 import V3
+from bendy_tpu.utils.v3 import V3, csub
 
 
 class GeoParams(NamedTuple):
@@ -97,7 +97,7 @@ def acceleration(scn: SceneArrays, x: V3, d: V3) -> V3:
     a = V3.zeros(B)
     for k in range(scn.n_masses):
         center, rs = mass_row(scn, k)
-        rel = x - center
+        rel = csub(x, center)  # origin-centered masses: 3 subs fold away
         r2 = rel.length_squared()
         h = rel.cross(d)
         h2 = h.length_squared()
@@ -114,7 +114,7 @@ def step_size(scn: SceneArrays, x: V3, p: GeoParams, steps=None) -> jnp.ndarray:
     r2_min = jnp.full(B, jnp.inf, x.x.dtype)
     for k in range(scn.n_masses):
         center, _ = mass_row(scn, k)
-        r2_min = jnp.minimum(r2_min, (x - center).length_squared())
+        r2_min = jnp.minimum(r2_min, csub(x, center).length_squared())
     eta = p.eta
     if steps is not None and p.growth:
         eta = eta * (1.0 + p.growth * steps.astype(x.x.dtype))
@@ -144,7 +144,7 @@ def capture_and_far(scn: SceneArrays, x: V3, d: V3, p: GeoParams):
     far = jnp.ones(B, bool)
     for k in range(scn.n_masses):
         center, rs = mass_row(scn, k)
-        rel = x - center
+        rel = csub(x, center)
         r2 = rel.length_squared()
         captured = captured | (r2 < rs * rs)
         receding = rel.dot(d) > 0.0

@@ -30,7 +30,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from bendy_tpu.scene.compiler import MAT_EMISSIVE, MAT_FLAT, SceneArrays
-from bendy_tpu.utils.v3 import V3
+from bendy_tpu.utils.v3 import V3, cdot, cdot_get, csub, host_const
 
 INF = jnp.inf
 
@@ -69,8 +69,13 @@ class Hit(NamedTuple):
 
 
 def sphere_t(org: V3, dir: V3, cmin, cmax, center: V3, radius) -> jnp.ndarray:
-    """Hit distance against one sphere (scalar center/radius), +inf on miss."""
-    oc = org - center
+    """Hit distance against one sphere (scalar center/radius), +inf on miss.
+
+    ``center``/``radius`` may be host constants (the Pallas path bakes the
+    scene as numpy scalars): zero center components then drop their
+    subtraction at trace time — exact, see utils.v3 const helpers.
+    """
+    oc = csub(org, center)
     half_b = oc.dot(dir)
     c = oc.length_squared() - radius * radius
     disc = half_b * half_b - c
@@ -85,14 +90,39 @@ def sphere_t(org: V3, dir: V3, cmin, cmax, center: V3, radius) -> jnp.ndarray:
 
 def rect_t(org: V3, dir: V3, cmin, cmax, center: V3, xb: V3, yb: V3, zb: V3,
            hw, hh) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(t, p) against one rect; t=+inf on miss, p = (c-o)·n plane-side sign."""
-    q = dir.dot(zb)
-    p = (center - org).dot(zb)
+    """(t, p) against one rect; t=+inf on miss, p = (c-o)·n plane-side sign.
+
+    Geometry may be host constants (Pallas-baked scene): every dot against
+    a basis with exact-zero components skips those terms at trace time, and
+    the in-plane point is built lazily — only the components a nonzero
+    basis entry reads are ever computed. Axis-aligned rects (cornell walls,
+    light faces) drop from ~44 to ~17 VPU ops this way; traced scenes take
+    the generic path unchanged.
+    """
+    q = cdot(dir, zb)
+
+    def c_minus_o(i):
+        o = (org.x, org.y, org.z)[i]
+        c = center[i]
+        return -o if host_const(c) == 0.0 else c - o
+
+    p = cdot_get(c_minus_o, zb)
     q_safe = jnp.where(jnp.abs(q) <= 1e-5, 1.0, q)
     t = p / q_safe
-    local = org + dir * t - center
-    lx = local.dot(xb)
-    ly = local.dot(yb)
+    # lazy local components: org + dir*t - center, built per needed axis
+    cache: dict = {}
+
+    def local(i):
+        if i not in cache:
+            o = (org.x, org.y, org.z)[i]
+            d = (dir.x, dir.y, dir.z)[i]
+            c = center[i]
+            v = o + d * t
+            cache[i] = v if host_const(c) == 0.0 else v - c
+        return cache[i]
+
+    lx = cdot_get(local, xb)
+    ly = cdot_get(local, yb)
     ok = (
         (jnp.abs(q) > 1e-5)
         & (t >= cmin)
@@ -143,6 +173,12 @@ def nearest_hit(
     zero = jnp.zeros(B, org.x.dtype)
     i0 = jnp.zeros(B, jnp.int32)
 
+    # static scene facts (n_spheres/n_rects are Python ints on both paths):
+    # a kind with zero primitives contributes no sweep work, no winner
+    # carries, and no manifold branch — the cross-kind selects fold away
+    has_sph = scn.n_spheres > 0
+    has_rct = scn.n_rects > 0
+
     t_best = jnp.full(B, INF, org.x.dtype)
     # int32 masks, not bool: Mosaic cannot lower bool selects against
     # broadcast constants (i8->i1 truncation)
@@ -177,7 +213,8 @@ def nearest_hit(
         better_i = better.astype(jnp.int32)
         keep_i = 1 - better_i
         t_best = jnp.where(better, t_k, t_best)
-        is_sph = jnp.maximum(is_sph, better_i)
+        if has_rct:  # without rects the winner is a sphere whenever valid
+            is_sph = jnp.maximum(is_sph, better_i)
         srow = srow * keep_i + k * better_i
         interior = interior * keep_i + int_k * better_i
         c_center = V3.where(better, center, c_center)
@@ -208,8 +245,9 @@ def nearest_hit(
         better_i = better.astype(jnp.int32)
         keep_i = 1 - better_i
         t_best = jnp.where(better, t_k, t_best)
-        is_sph = is_sph * keep_i
-        interior = interior * keep_i
+        if has_sph:  # without spheres these carries are statically 0
+            is_sph = is_sph * keep_i
+            interior = interior * keep_i
         c_zb = V3.where(better, zb, c_zb)
         c_p = jnp.where(better, p_k, c_p)
         c_mtype = jnp.where(better, scn.rct_mtype[k], c_mtype)
@@ -228,29 +266,40 @@ def nearest_hit(
     valid = jnp.isfinite(t_best)
     position = org + dir * t_best
 
-    # sphere manifold (``sphere.rs:85-119``)
-    s_normal = (position - c_center) / c_radius
-    s_front = dir.dot(s_normal) < 0.0
-    s_normal = V3.where(s_front, s_normal, -s_normal)
-    s_has_vol = c_vgrid >= 0
-    s_face = jnp.where(
-        s_has_vol,
-        jnp.where(s_front, FACE_VOLUME_FRONT, FACE_VOLUME_BACK),
-        jnp.where(s_front, FACE_FRONT, FACE_BACK),
-    )
-    # interior pseudo-hit: zero normal, VOLUME face (``sphere.rs:71-83``)
-    interior_b = interior != 0
-    s_normal = V3.where(interior_b, V3.zeros(B), s_normal)
-    s_face = jnp.where(interior_b, FACE_VOLUME, s_face)
+    if has_sph:
+        # sphere manifold (``sphere.rs:85-119``)
+        s_normal = (position - c_center) / c_radius
+        s_front = dir.dot(s_normal) < 0.0
+        s_normal = V3.where(s_front, s_normal, -s_normal)
+        s_has_vol = c_vgrid >= 0
+        s_face = jnp.where(
+            s_has_vol,
+            jnp.where(s_front, FACE_VOLUME_FRONT, FACE_VOLUME_BACK),
+            jnp.where(s_front, FACE_FRONT, FACE_BACK),
+        )
+        # interior pseudo-hit: zero normal, VOLUME face (``sphere.rs:71-83``)
+        interior_b = interior != 0
+        s_normal = V3.where(interior_b, V3.zeros(B), s_normal)
+        s_face = jnp.where(interior_b, FACE_VOLUME, s_face)
 
-    # rect manifold (``rect.rs:138-142``)
-    r_front = c_p < 0.0
-    r_normal = V3.where(r_front, c_zb, -c_zb)
-    r_face = jnp.where(r_front, FACE_FRONT, FACE_BACK)
+    if has_rct:
+        # rect manifold (``rect.rs:138-142``)
+        r_front = c_p < 0.0
+        r_normal = V3.where(r_front, c_zb, -c_zb)
+        r_face = jnp.where(r_front, FACE_FRONT, FACE_BACK)
 
-    is_sph_b = is_sph != 0
-    normal = V3.where(is_sph_b, s_normal, r_normal)
-    face = jnp.where(valid, jnp.where(is_sph_b, s_face, r_face), FACE_MISS)
+    if has_sph and has_rct:
+        is_sph_b = is_sph != 0
+        normal = V3.where(is_sph_b, s_normal, r_normal)
+        face = jnp.where(valid, jnp.where(is_sph_b, s_face, r_face), FACE_MISS)
+    elif has_sph:
+        is_sph_b = valid
+        normal = s_normal
+        face = jnp.where(valid, s_face, FACE_MISS)
+    else:
+        is_sph_b = jnp.zeros(B, bool)
+        normal = r_normal
+        face = jnp.where(valid, r_face, FACE_MISS)
 
     # reconstitute (albedo, emitted) from the merged color carry: emitted
     # is the color for terminating kinds and zero for scattering kinds
@@ -260,6 +309,13 @@ def nearest_hit(
         org.x.dtype
     )
     c_emit = c_color * emitting
+
+    if has_sph:
+        vol_grid = jnp.where(is_sph_b, c_vgrid, -1)
+        sphere_row = jnp.where(is_sph_b & valid, srow, -1)
+    else:  # fold the all-False selects away (and keep them off Mosaic)
+        vol_grid = i0 - 1
+        sphere_row = i0 - 1
 
     return Hit(
         t=t_best,
@@ -272,9 +328,9 @@ def nearest_hit(
         rough=c_rough,
         ior=c_ior,
         emitted=c_emit,
-        vol_grid=jnp.where(is_sph_b, c_vgrid, -1),
+        vol_grid=vol_grid,
         vol_size=c_vsize,
-        sphere_row=jnp.where(is_sph_b & valid, srow, -1),
+        sphere_row=sphere_row,
         bbox_min=c_center - V3.splat(c_radius),
         bbox_size=V3.splat(2.0 * c_radius),
     )

@@ -41,7 +41,7 @@ from bendy_tpu.scene.compiler import (
     MAT_METALLIC,
     SceneArrays,
 )
-from bendy_tpu.utils.v3 import V3
+from bendy_tpu.utils.v3 import V3, caxpy, host_const
 
 
 class Shade(NamedTuple):
@@ -92,14 +92,26 @@ def sample_light_point(scn: SceneArrays, light_idx: jnp.ndarray,
             remaining = remaining & ~pick
             x = (u_a * 2.0 - 1.0) * scn.light_face_hw[li, f]
             y = (u_b * 2.0 - 1.0) * scn.light_face_hh[li, f]
-            p_f = (
-                V3(scn.light_face_center[li, f, 0], scn.light_face_center[li, f, 1],
-                   scn.light_face_center[li, f, 2])
-                + V3(scn.light_face_x[li, f, 0], scn.light_face_x[li, f, 1],
-                     scn.light_face_x[li, f, 2]) * x
-                + V3(scn.light_face_y[li, f, 0], scn.light_face_y[li, f, 1],
-                     scn.light_face_y[li, f, 2]) * y
+            # caxpy: basis components that are exact host-constant zeros
+            # (axis-aligned faces under the Pallas-baked scene) drop their
+            # multiply-add at trace time
+            p_f = caxpy(
+                caxpy(
+                    V3(scn.light_face_center[li, f, 0],
+                       scn.light_face_center[li, f, 1],
+                       scn.light_face_center[li, f, 2]),
+                    V3(scn.light_face_x[li, f, 0], scn.light_face_x[li, f, 1],
+                       scn.light_face_x[li, f, 2]),
+                    x,
+                ),
+                V3(scn.light_face_y[li, f, 0], scn.light_face_y[li, f, 1],
+                   scn.light_face_y[li, f, 2]),
+                y,
             )
+            # a component with both basis entries zero stays a host scalar
+            # (the face's normal axis): broadcast it for the select
+            p_f = V3(*[c if host_const(c) is None else jnp.zeros(B) + c
+                       for c in p_f])
             p_rect = V3.where(pick, p_f, p_rect)
 
         if kind_c == 1:

@@ -99,6 +99,10 @@ class TraceConfig(NamedTuple):
     has_diffuse: bool = True  # any Diffuse material on a primitive
     has_specular: bool = True  # any Metallic/Glass material on a primitive
     has_dof: bool = True  # camera has a focus distance (thin-lens defocus)
+    pending_check: int = 8  # termination test cadence: the all-lanes-done
+    #   reduction runs every N iterations (iterating an all-dead state is a
+    #   masked no-op, so overshooting by up to N-1 iterations is exact; the
+    #   cross-lane reduction was ~2 transposes + log2(B) adds per iteration)
     want_aovs: bool = True  # static: False drops the whole AOV pipeline from
     #   the loop carry (13 [B] arrays + claim logic) for FULL-only renders
 
@@ -120,6 +124,8 @@ class TraceSums(NamedTuple):
     aov_normal: V3
     aov_depth: jnp.ndarray  # [B] normalized+clamped depth sum
     rays: jnp.ndarray  # [] f32: total alive-lane iterations (traced rays)
+    # (inside the loop this is a [B] per-lane counter — one masked add per
+    #  iteration instead of a cross-lane reduction; summed once at the end)
 
 
 class _State(NamedTuple):
@@ -268,7 +274,7 @@ def trace_core(
         acc_alb=zav,
         acc_nrm=zav,
         acc_dep=za,
-        rays=jnp.float32(0.0),
+        rays=zf,
     )
 
     def cond(s: _State):
@@ -440,12 +446,9 @@ def trace_core(
                 claim_dep = jnp.where(vol_claim, hit.t, claim_dep)
                 claim = claim | (vol_claim & (aov_open != 0))
 
-        n_pending = jnp.sum(
-            ((new_mode != MODE_DEAD) | (sample + 1 < spp)).astype(jnp.int32)
-        )
         return _State(
             it=s.it + 1,
-            n_pending=n_pending,
+            n_pending=s.n_pending,  # refreshed every pending_check iters (outer)
             sample=sample,
             path_step=path_step + 1,
             path_open=path_open,
@@ -467,14 +470,28 @@ def trace_core(
             acc_alb=acc_alb,
             acc_nrm=acc_nrm,
             acc_dep=acc_dep,
-            rays=s.rays + jnp.sum(alive).astype(jnp.float32),
+            rays=s.rays + alive.astype(jnp.float32),
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    def outer_body(s: _State) -> _State:
+        # run pending_check iterations, then one termination reduction.
+        # Iterating an all-dead state is a fully-masked no-op, so the
+        # overshoot is exact; the savings are (N-1)/N of the per-iteration
+        # cross-lane reductions.
+        s = jax.lax.fori_loop(
+            0, max(cfg.pending_check, 1), lambda _, ss: body(ss), s
+        )
+        n_pending = jnp.sum(
+            ((s.mode != MODE_DEAD) | (s.sample + 1 < spp)).astype(jnp.int32)
+        )
+        return s._replace(n_pending=n_pending)
+
+    final = jax.lax.while_loop(cond, outer_body, state)
 
     # fold in each lane's last completed path (not yet accumulated in-loop)
     fin = (final.mode == MODE_DEAD) & (final.path_open != 0)
     B_ = pix.shape
+    rays_total = jnp.sum(final.rays)  # [B] per-lane counters -> scalar
     radiance = final.acc_rad + V3.where(fin, final.rad, zv)
     if not cfg.want_aovs:
         # AOV slots alias the radiance (callers only read .radiance)
@@ -483,7 +500,7 @@ def trace_core(
             aov_albedo=radiance,
             aov_normal=radiance,
             aov_depth=radiance.x,
-            rays=final.rays,
+            rays=rays_total,
         )
     dep_n = jnp.clip(
         (final.aov_dep - cfg.clip_min) / (cfg.clip_max - cfg.clip_min), 0.0, 1.0
@@ -493,7 +510,7 @@ def trace_core(
         aov_albedo=final.acc_alb + V3.where(fin, final.aov_alb, zv),
         aov_normal=final.acc_nrm + V3.where(fin, final.aov_nrm, zv),
         aov_depth=final.acc_dep + jnp.where(fin, dep_n, 0.0),
-        rays=final.rays,
+        rays=rays_total,
     )
 
 

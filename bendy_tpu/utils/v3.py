@@ -161,3 +161,94 @@ def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
     import jax
 
     return jax.lax.rsqrt(x)
+
+
+# -- host-constant folding ---------------------------------------------------
+#
+# The Pallas megakernel bakes the compiled scene as numpy constants
+# (ops/pallas_trace.py), so per-primitive geometry is concrete at trace
+# time. Axis-aligned bases and origin-centered masses then have *exact*
+# zero / ±1 components, and the corresponding multiply-add terms can be
+# dropped in Python before anything is traced — the skipped work never
+# reaches Mosaic. Exact for finite inputs: x·(±1) and x+0.0 are identity
+# in IEEE 754 (modulo sign-of-zero, which nothing downstream observes).
+# Under jit (traced scene arrays) every helper degrades to the generic op.
+
+
+def host_const(v):
+    """Concrete float when ``v`` is a host (python/numpy) scalar, else None."""
+    import numpy as np
+
+    if isinstance(v, (int, float, np.floating, np.integer)):
+        return float(v)
+    return None
+
+
+def cmul(x, c):
+    """``x*c`` with Python-level strength reduction for constant ``c``.
+
+    Returns None when the term vanishes (c == 0) so callers can skip it.
+    """
+    cv = host_const(c)
+    if cv is None:
+        return x * c
+    if cv == 0.0:
+        return None
+    if cv == 1.0:
+        return x
+    if cv == -1.0:
+        return -x
+    return x * c
+
+
+def cdot(v: "V3", c: "V3"):
+    """``v·c`` skipping exactly-zero constant components of ``c``."""
+    terms = [t for t in (cmul(v.x, c.x), cmul(v.y, c.y), cmul(v.z, c.z))
+             if t is not None]
+    if not terms:
+        return v.x * 0.0
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def cdot_get(get, c: "V3"):
+    """Like :func:`cdot` but components come from ``get(i)`` — called only
+    for nonzero constant entries of ``c`` (lazy: skipped components are
+    never built, so no reliance on downstream dead-code elimination)."""
+    terms = []
+    probe = None
+    for i, cc in enumerate((c.x, c.y, c.z)):
+        if host_const(cc) == 0.0:
+            continue
+        vi = get(i)
+        probe = vi
+        t = cmul(vi, cc)
+        if t is not None:
+            terms.append(t)
+    if not terms:
+        return (probe if probe is not None else get(0)) * 0.0
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def csub(v: "V3", c: "V3") -> "V3":
+    """``v - c`` dropping exactly-zero constant components of ``c``."""
+    def one(a, cc):
+        if host_const(cc) == 0.0:
+            return a
+        return a - cc
+
+    return V3(one(v.x, c.x), one(v.y, c.y), one(v.z, c.z))
+
+
+def caxpy(acc: "V3", c: "V3", s) -> "V3":
+    """``acc + c*s`` dropping exactly-zero constant components of ``c``."""
+    def one(a, cc):
+        t = cmul(s, cc)
+        return a if t is None else a + t
+
+    return V3(one(acc.x, c.x), one(acc.y, c.y), one(acc.z, c.z))
