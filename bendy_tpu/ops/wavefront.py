@@ -52,7 +52,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from bendy_tpu.geodesic import GeoParams, capture_and_far, rk4_step, step_size
+from bendy_tpu.geodesic import GeoParams, geo_step_begin, rk4_step
 from bendy_tpu.ops.camera import CameraParams, camera_ray
 from bendy_tpu.ops.intersect import (
     FACE_BACK,
@@ -333,9 +333,13 @@ def trace_core(
         mode = mode * (1 - (over_b | over_v).astype(jnp.int32))
 
         if cfg.geodesic:
-            # horizon capture / step-budget exhaustion swallow the path
+            # horizon capture / step-budget exhaustion swallow the path.
+            # geo_step_begin fuses the capture/far tests, the adaptive step
+            # and the conserved per-mass h² into one mass sweep.
             surf_mode = mode == MODE_SURFACE
-            captured, far_field = capture_and_far(scn, org, dirv, geo)
+            captured, far_field, ds, h2s = geo_step_begin(
+                scn, org, dirv, geo, steps=geo_steps
+            )
             mode = mode * (
                 1 - (surf_mode & (captured | (geo_steps > geo.max_steps))).astype(jnp.int32)
             )
@@ -345,8 +349,7 @@ def trace_core(
 
         # === propagation segment + one intersection sweep ==================
         if cfg.geodesic:
-            ds = step_size(scn, org, geo, steps=geo_steps)
-            x_next, d_next = rk4_step(scn, org, dirv, ds)
+            x_next, d_next = rk4_step(scn, org, dirv, ds, h2s=h2s)
             chord = x_next - org
             chord_len = chord.length()
             seg_dir = chord * (1.0 / jnp.maximum(chord_len, 1e-20))

@@ -13,7 +13,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from bendy_tpu.geodesic import GeoParams, acceleration, capture_and_far, rk4_step, step_size
+from bendy_tpu.geodesic import (
+    GeoParams,
+    acceleration,
+    capture_and_far,
+    geo_step_begin,
+    rk4_step,
+    step_size,
+)
 from bendy_tpu.scene import Data, Material, Object, ObjectFlags, Scene, Sphere, compile_scene
 from bendy_tpu.utils.v3 import V3
 
@@ -59,6 +66,49 @@ class TestDeflection:
             alpha = float(jnp.arctan2(-d.y[0], d.x[0]))
             expected = 2.0 * rs / b
             assert alpha == pytest.approx(expected, rel=0.05), (b, alpha, expected)
+
+    def test_frozen_h2_matches_generic_rk4(self):
+        """The production step (geo_step_begin's frozen per-step h²) and
+        the generic per-stage-h² step discretize the same ODE: after a
+        full grazing flyby the deflection angles agree to ~1e-3 rel and
+        the capture/far/ds outputs match the standalone functions."""
+        rs = 0.02
+        scn = compile_scene(mass_scene(rs))
+        geo = GeoParams()
+
+        # the fused sweep reproduces the standalone capture/far/ds outputs
+        x0, d0 = v3(-60.0, 0.03, 0.0), v3(0.9, 0.01, 0.02)
+        cap, far, ds, _ = geo_step_begin(scn, x0, d0, geo)
+        cap2, far2 = capture_and_far(scn, x0, d0, geo)
+        np.testing.assert_array_equal(np.asarray(cap), np.asarray(cap2))
+        np.testing.assert_array_equal(np.asarray(far), np.asarray(far2))
+        np.testing.assert_allclose(
+            np.asarray(ds), np.asarray(step_size(scn, x0, geo)), rtol=1e-6
+        )
+
+        import jax
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=0)
+        def fly(frozen: bool):
+            def step(_, xd):
+                x, d = xd
+                h = jnp.full_like(x.x, 0.05)
+                if frozen:
+                    _, _, _, h2s = geo_step_begin(scn, x, d, geo)
+                    return rk4_step(scn, x, d, h, h2s=h2s)
+                return rk4_step(scn, x, d, h)
+
+            x, d = jax.lax.fori_loop(
+                0, 2600, step, (v3(-60.0, 1.0, 0.0), v3(1.0, 0.0, 0.0))
+            )
+            return jnp.arctan2(-d.y[0], d.x[0])
+
+        a_frozen = float(fly(True))
+        a_generic = float(fly(False))
+        assert a_frozen == pytest.approx(a_generic, rel=1e-3)
+        assert a_frozen == pytest.approx(2.0 * rs / 1.0, rel=0.05)
 
     def test_deflection_scales_inverse_b(self):
         rs = 0.02
