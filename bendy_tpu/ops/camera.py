@@ -24,7 +24,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from bendy_tpu.ops.distr import unit_disk
+from bendy_tpu.ops.distr import sin_cos_tau
 from bendy_tpu.utils.rng import CAMERA_TAG, lane_uniforms
 from bendy_tpu.utils.v3 import V3
 
@@ -50,6 +50,16 @@ def rotate(m: jnp.ndarray, v: V3) -> V3:
     )
 
 
+def ndc_base(width: int, height: int, subsample: int, px, py, si, sj):
+    """Jitter-free NDC base per lane (``tracer/mod.rs:271-275``)."""
+    n = max(subsample, 1)
+    pw = 2.0 / width
+    ph = 2.0 / height
+    u = px * pw - 1.0 + (si / n) * pw
+    v = py * ph - 1.0 + (sj / n) * ph
+    return u, v
+
+
 def camera_ray(
     cam: CameraParams,
     width: int,
@@ -63,13 +73,17 @@ def camera_ray(
     sj: jnp.ndarray,
     poly_trig: bool = False,
     has_dof: bool = True,
+    uv_base=None,
 ) -> tuple[V3, V3]:
     """Generate one primary ray per lane from explicit coordinates.
 
     ``sample_id`` is the *global* (pixel, sample, subpixel) id — it keys
     the jitter/defocus RNG streams, so any chunking/sharding of lanes
     produces identical rays. (px, py) are pixel coords, (si, sj) the
-    subpixel cell.
+    subpixel cell. ``uv_base`` optionally supplies the per-lane NDC base
+    (the jitter-free part of u, v) precomputed once — the wavefront loop
+    carries it instead of redoing the int div/mod + converts every
+    iteration; the arithmetic is bit-identical either way.
     """
     n = max(subsample, 1)
     pw = 2.0 / width
@@ -77,8 +91,12 @@ def camera_ray(
     uj = lane_uniforms(key, sample_id, CAMERA_TAG, 4)
 
     # jittered NDC (``tracer/mod.rs:255-283``); subpixel offset is i/n of a pixel
-    u = px * pw - 1.0 + (si / n) * pw + (uj[0] - 0.5) * (pw / n)
-    v = py * ph - 1.0 + (sj / n) * ph + (uj[1] - 0.5) * (ph / n)
+    if uv_base is not None:
+        u_base, v_base = uv_base
+    else:
+        u_base, v_base = ndc_base(width, height, n, px, py, si, sj)
+    u = u_base + (uj[0] - 0.5) * (pw / n)
+    v = v_base + (uj[1] - 0.5) * (ph / n)
 
     yfov = cam.yfov  # host-precomputed 2·atan2(sensor, 2·focal)
     xfov = yfov * cam.aspect_ratio
@@ -109,10 +127,20 @@ def camera_ray(
     # then, so it is dropped from the loop body rather than select-masked.
     if not has_dof:
         return origin, d_world
-    neg_z = V3(jnp.zeros_like(u), jnp.zeros_like(u), jnp.full_like(u, -1.0))
-    defocus = unit_disk(neg_z, uj[2], uj[3])
+    # unit_disk about the constant -Z axis: the Duff frame of (0,0,-1) is
+    # t=(1,0,0), b=(0,-1,0) by construction, so the disk sample is
+    # (cos, -sin, 0)·r directly — bit-identical to the generic frame math
+    # (which previously ran on traced zeros every iteration) minus ~30 ops
+    sin1, cos1 = sin_cos_tau(uj[2])  # unit_disk's own angle parametrization
     aperture = 0.5 * cam.focal_length / cam.fstop
-    defocus_offset = rotate(cam.rotation, defocus * aperture)
+    dx = (cos1 * uj[3]) * aperture
+    dy = (-sin1 * uj[3]) * aperture
+    m = cam.rotation  # rotate() with the z=0 component folded out
+    defocus_offset = V3(
+        m[0, 0] * dx + m[0, 1] * dy,
+        m[1, 0] * dx + m[1, 1] * dy,
+        m[2, 0] * dx + m[2, 1] * dy,
+    )
     frac_f_z = cam.focus / jnp.abs(d_frustum.z)
     origin_dof = origin + defocus_offset
     dir_dof = (d_world * frac_f_z - defocus_offset).normalize()

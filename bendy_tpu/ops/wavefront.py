@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 
 from bendy_tpu.geodesic import GeoParams, geo_step_begin, rk4_step
-from bendy_tpu.ops.camera import CameraParams, camera_ray
+from bendy_tpu.ops.camera import CameraParams, camera_ray, ndc_base
 from bendy_tpu.ops.intersect import (
     FACE_BACK,
     FACE_FRONT,
@@ -150,6 +150,8 @@ class _State(NamedTuple):
     aov_dep: jnp.ndarray
     geo_steps: jnp.ndarray
     fresh: jnp.ndarray  # first segment after a bounce: clip_min applies
+    u_base: jnp.ndarray  # [B] jitter-free NDC, computed once (passthrough
+    v_base: jnp.ndarray  #   carries: int div/mod + converts leave the loop)
     # per-lane accumulators over completed samples
     acc_rad: V3
     acc_alb: V3
@@ -250,6 +252,8 @@ def trace_core(
         # False, so they never regenerate, stay MODE_DEAD, and add nothing
         # to the accumulators or the ray count
         sample_init = zi - 1 + (1 - active.astype(jnp.int32)) * spp
+    px0, py0, si0, sj0 = lane_coords()
+    ub0, vb0 = ndc_base(width, height, n, px0, py0, si0, sj0)
     state = _State(
         it=jnp.uint32(0),
         n_pending=jnp.int32(1),
@@ -261,15 +265,20 @@ def trace_core(
         thr=zv,
         rad=zv,
         bounce=zi,
-        vbounce=zi,
+        # statically-dead carries collapse to traced scalars: a while-loop
+        # carry is live across the entire body (VMEM/vreg residency every
+        # iteration), so a mode that never reads one should not pay for it
+        vbounce=zi if cfg.has_volumes else jnp.int32(0),
         mode=zi + MODE_DEAD,
-        last_sph=zi - 1,
+        last_sph=(zi - 1) if cfg.has_volumes else jnp.int32(-1),
         aov_open=(zi if cfg.want_aovs else jnp.int32(0)),
         aov_alb=zav,
         aov_nrm=zav,
         aov_dep=za + jnp.inf,
-        geo_steps=zi,
-        fresh=zi + 1,
+        geo_steps=zi if cfg.geodesic else jnp.int32(0),
+        fresh=(zi + 1) if cfg.geodesic else jnp.int32(1),
+        u_base=ub0,
+        v_base=vb0,
         acc_rad=zv,
         acc_alb=zav,
         acc_nrm=zav,
@@ -303,17 +312,17 @@ def trace_core(
         path_step = s.path_step * keep_i
         sample = s.sample + regen_i
         sid = sample_id(jnp.maximum(sample, 0))
-        px, py, si, sj = lane_coords()
         cam_org, cam_dir = camera_ray(
-            cam, width, height, n, key, sid, px, py, si, sj,
+            cam, width, height, n, key, sid, None, None, None, None,
             poly_trig=cfg.frustum_poly, has_dof=cfg.has_dof,
+            uv_base=(s.u_base, s.v_base),
         )
         org = V3.where(regen, cam_org, s.org)
         dirv = V3.where(regen, cam_dir, s.dir)
         thr = V3.where(regen, zv + 1.0, s.thr)
         rad = V3.where(regen, zv, s.rad)
         bounce = s.bounce * keep_i
-        vbounce = s.vbounce * keep_i
+        vbounce = s.vbounce * keep_i if cfg.has_volumes else s.vbounce
         mode = s.mode * keep_i + MODE_SURFACE * regen_i
         if cfg.want_aovs:
             aov_open = jnp.maximum(regen_i, s.aov_open)
@@ -324,13 +333,15 @@ def trace_core(
             aov_open, aov_alb, aov_nrm, aov_dep = (
                 s.aov_open, s.aov_alb, s.aov_nrm, s.aov_dep
             )
-        geo_steps = s.geo_steps * keep_i
-        fresh = jnp.maximum(regen_i, s.fresh)
+        geo_steps = s.geo_steps * keep_i if cfg.geodesic else s.geo_steps
+        fresh = jnp.maximum(regen_i, s.fresh) if cfg.geodesic else s.fresh
 
         # === bounce-cap kills at path entry (``tracer/mod.rs:323-325,352-354``)
         over_b = (mode == MODE_SURFACE) & (bounce > cfg.max_bounces)
-        over_v = (mode == MODE_MARCH) & (vbounce > cfg.max_volume_bounces)
-        mode = mode * (1 - (over_b | over_v).astype(jnp.int32))
+        if cfg.has_volumes:
+            over_v = (mode == MODE_MARCH) & (vbounce > cfg.max_volume_bounces)
+            over_b = over_b | over_v
+        mode = mode * (1 - over_b.astype(jnp.int32))
 
         if cfg.geodesic:
             # horizon capture / step-budget exhaustion swallow the path.
@@ -399,7 +410,8 @@ def trace_core(
         new_mode = MODE_SURFACE * (alive & surf_cont).astype(jnp.int32)
         bounce = bounce + surf_cont.astype(jnp.int32)
         last_sph = s.last_sph
-        fresh = jnp.maximum(fresh, surf.astype(jnp.int32))
+        if cfg.geodesic:
+            fresh = jnp.maximum(fresh, surf.astype(jnp.int32))
         if cfg.geodesic:
             new_org = V3.where(geo_cont, x_next, new_org)
             new_dir = V3.where(geo_cont, d_next, new_dir)
@@ -440,7 +452,8 @@ def trace_core(
             last_sph = (
                 last_sph * (1 - vol_march_i) + hit.sphere_row * vol_march_i
             )
-            fresh = jnp.maximum(fresh, vol.astype(jnp.int32))
+            if cfg.geodesic:  # fresh is a geodesic-chord concept only
+                fresh = jnp.maximum(fresh, vol.astype(jnp.int32))
 
             if cfg.want_aovs:
                 vol_claim = vol & vs.scattered
@@ -469,6 +482,8 @@ def trace_core(
             aov_dep=jnp.where(claim, claim_dep, aov_dep) if cfg.want_aovs else aov_dep,
             geo_steps=geo_steps,
             fresh=fresh,
+            u_base=s.u_base,
+            v_base=s.v_base,
             acc_rad=acc_rad,
             acc_alb=acc_alb,
             acc_nrm=acc_nrm,
