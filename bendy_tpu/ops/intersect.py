@@ -133,6 +133,74 @@ def rect_t(org: V3, dir: V3, cmin, cmax, center: V3, xb: V3, yb: V3, zb: V3,
     return jnp.where(ok, t, INF), p
 
 
+def box_t(org: V3, dir: V3, cmin, cmax, bn, bdlo, bdhi, bslo, bshi):
+    """(t, p_sign, zb_like) against one three-slab box; t=+inf on miss.
+
+    Equivalent to min-t over the box's six rect faces (the reference's
+    cuboid, ``src/scene/object/cuboid.rs:83-105``) but ~3 plane tests
+    instead of 6 rect tests: slab i admits n_i·(o + t·d) ∈ [dlo_i, dhi_i];
+    the box interval is the intersection. The winner is the entry plane
+    (t = tnear in clip) or else the exit plane (ray starting inside or
+    within clip_min of the surface). Parallel slabs (|d·n| <= 1e-5, the
+    per-face reject of ``rect.rs:110-142``) pass freely when the origin
+    lies between the planes and kill the box otherwise.
+
+    Face-code parity: the reference reports FRONT iff dir·m < 0 for the
+    winning face's own STORED normal m = ±n_slab — its constructor mixes
+    conventions per pair (``cuboid.rs:19-30``), hence the baked
+    ``bslo``/``bshi`` signs. The reported normal is always the
+    ray-opposing -sign(d·n)·n of the winning slab. p_sign (<0 = front)
+    and zb_like feed the rect manifold carries unchanged: the manifold
+    negates c_zb on back faces, so zb_like pre-multiplies by -p_sign.
+
+    Geometry rows may be host constants (Pallas-baked): axis-aligned
+    slabs then fold their dot products at trace time.
+    """
+    B = org.x.shape
+    tnear = jnp.full(B, -INF, org.x.dtype)
+    tfar = jnp.full(B, INF, org.x.dtype)
+    near_n = V3.zeros(B)
+    far_n = V3.zeros(B)
+    fr_near = jnp.ones(B, org.x.dtype)
+    fr_far = jnp.ones(B, org.x.dtype)
+    for i in range(3):
+        n_i = V3(bn[i, 0], bn[i, 1], bn[i, 2])
+        q = cdot(dir, n_i)
+        p = cdot(org, n_i)
+        par = jnp.abs(q) <= 1e-5
+        inv = 1.0 / jnp.where(par, 1.0, q)
+        t1 = (bdlo[i] - p) * inv
+        t2 = (bdhi[i] - p) * inv
+        tno = jnp.minimum(t1, t2)
+        tfo = jnp.maximum(t1, t2)
+        inside = (p >= bdlo[i]) & (p <= bdhi[i])
+        # parallel: between the planes -> slab is unbounded, else empty
+        tno = jnp.where(par, jnp.where(inside, -INF, INF), tno)
+        tfo = jnp.where(par, jnp.where(inside, INF, -INF), tfo)
+        pos_q = q > 0.0
+        oriented = n_i * jnp.where(pos_q, -1.0, 1.0)
+        # front iff sign(q)·sigma_winning_plane == -1 (m = sigma·n):
+        # q>0 enters through the lo plane and exits through hi
+        sgn_entry = jnp.where(pos_q, bslo[i], -bshi[i])
+        sgn_exit = jnp.where(pos_q, bshi[i], -bslo[i])
+        upd_n = tno > tnear
+        upd_f = tfo < tfar
+        tnear = jnp.where(upd_n, tno, tnear)
+        near_n = V3.where(upd_n, oriented, near_n)
+        fr_near = jnp.where(upd_n, sgn_entry, fr_near)
+        tfar = jnp.where(upd_f, tfo, tfar)
+        far_n = V3.where(upd_f, oriented, far_n)
+        fr_far = jnp.where(upd_f, sgn_exit, fr_far)
+    nonempty = tnear <= tfar
+    near_ok = nonempty & (tnear >= cmin) & (tnear <= cmax)
+    far_ok = nonempty & (tfar >= cmin) & (tfar <= cmax)
+    t = jnp.where(near_ok, tnear, jnp.where(far_ok, tfar, INF))
+    p_sign = jnp.where(near_ok, fr_near, fr_far)  # <0 = front
+    winning_n = V3.where(near_ok, near_n, far_n)
+    zb_like = winning_n * (-p_sign)
+    return t, p_sign, zb_like
+
+
 def _prim_color(mtype, albedo: V3, emitted: V3) -> V3:
     """The one rgb a primitive's shading can ever read: ``emitted`` for
     terminating kinds (Flat emits its albedo, ``material.rs:76``; Emissive
@@ -173,11 +241,13 @@ def nearest_hit(
     zero = jnp.zeros(B, org.x.dtype)
     i0 = jnp.zeros(B, jnp.int32)
 
-    # static scene facts (n_spheres/n_rects are Python ints on both paths):
-    # a kind with zero primitives contributes no sweep work, no winner
-    # carries, and no manifold branch — the cross-kind selects fold away
+    # static scene facts (n_spheres/n_trace_rects/n_boxes are Python ints on
+    # both paths): a kind with zero primitives contributes no sweep work,
+    # no winner carries, and no manifold branch — cross-kind selects fold
+    # away. Boxes reuse the rect manifold carries (oriented normal in c_zb,
+    # face sign in c_p), so "rect-like" covers both.
     has_sph = scn.n_spheres > 0
-    has_rct = scn.n_rects > 0
+    has_rct = scn.n_trace_rects > 0 or scn.n_boxes > 0
 
     t_best = jnp.full(B, INF, org.x.dtype)
     # int32 masks, not bool: Mosaic cannot lower bool selects against
@@ -233,7 +303,7 @@ def nearest_hit(
             c_vgrid = jnp.where(better, scn.sph_vol_grid[k], c_vgrid)
             c_vsize = V3.where(better, row3(scn.sph_vol_size, k), c_vsize)
 
-    for k in range(scn.n_rects):
+    for k in range(scn.n_trace_rects):
         center = row3(scn.rct_center, k)
         zb = row3(scn.rct_z, k)
         t_k, p_k = rect_t(
@@ -260,6 +330,33 @@ def nearest_hit(
         if carry_specular:
             c_rough = jnp.where(better, scn.rct_rough[k], c_rough)
             c_ior = jnp.where(better, scn.rct_ior[k], c_ior)
+        if carry_volumes:
+            c_vgrid = c_vgrid * keep_i - better_i
+
+    for k in range(scn.n_boxes):
+        t_k, p_k, zb_k = box_t(
+            org, dir, cmin, cmax, scn.box_n[k], scn.box_dlo[k], scn.box_dhi[k],
+            scn.box_sgn_lo[k], scn.box_sgn_hi[k],
+        )
+        better = t_k < t_best
+        better_i = better.astype(jnp.int32)
+        keep_i = 1 - better_i
+        t_best = jnp.where(better, t_k, t_best)
+        if has_sph:
+            is_sph = is_sph * keep_i
+            interior = interior * keep_i
+        c_zb = V3.where(better, zb_k, c_zb)
+        c_p = jnp.where(better, p_k, c_p)
+        c_mtype = jnp.where(better, scn.box_mtype[k], c_mtype)
+        c_color = V3.where(
+            better,
+            _prim_color(scn.box_mtype[k], row3(scn.box_albedo, k),
+                        row3(scn.box_emitted, k)),
+            c_color,
+        )
+        if carry_specular:
+            c_rough = jnp.where(better, scn.box_rough[k], c_rough)
+            c_ior = jnp.where(better, scn.box_ior[k], c_ior)
         if carry_volumes:
             c_vgrid = c_vgrid * keep_i - better_i
 
@@ -296,10 +393,14 @@ def nearest_hit(
         is_sph_b = valid
         normal = s_normal
         face = jnp.where(valid, s_face, FACE_MISS)
-    else:
+    elif has_rct:
         is_sph_b = jnp.zeros(B, bool)
         normal = r_normal
         face = jnp.where(valid, r_face, FACE_MISS)
+    else:  # no hit-testable primitives (mass-and-environment-only scenes)
+        is_sph_b = jnp.zeros(B, bool)
+        normal = V3.zeros(B)
+        face = jnp.full(B, FACE_MISS, jnp.int32)
 
     # reconstitute (albedo, emitted) from the merged color carry: emitted
     # is the color for terminating kinds and zero for scattering kinds

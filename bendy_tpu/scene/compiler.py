@@ -64,6 +64,9 @@ MAT_METALLIC = 2
 MAT_GLASS = 3
 MAT_EMISSIVE = 4
 
+BOX_COMPILE = True  # module switch: False forces the per-face rect sweep
+#   for every cuboid (tests use it to pin box/rect equivalence)
+
 _MATERIAL_CODES = {
     "flat": MAT_FLAT,
     "diffuse": MAT_DIFFUSE,
@@ -122,6 +125,27 @@ class SceneArrays:
     rct_ior: jnp.ndarray  # [Nr]
     rct_emitted: jnp.ndarray  # [Nr,3]
 
+    # boxes: cuboids whose six faces form a closed parallelepiped with one
+    # material compile ADDITIONALLY into three-slab form — the tracer
+    # intersects the whole box in ~3 plane tests instead of 6 rect tests
+    # (ops/intersect.nearest_hit). Their face rects stay in the rect table
+    # (ordered last) for the native/numpy oracles and light-row mapping;
+    # the tracer sweeps only the first n_trace_rects rows.
+    box_n: jnp.ndarray  # [Nb,3,3] unit slab normals
+    box_dlo: jnp.ndarray  # [Nb,3] slab plane offsets: n·x ∈ [dlo, dhi]
+    box_dhi: jnp.ndarray  # [Nb,3]
+    box_sgn_lo: jnp.ndarray  # [Nb,3] ±1: stored-normal sign (vs slab n) of
+    #   the face on the lo plane — the reference's front/back face codes
+    #   follow each face's own stored orientation
+    box_sgn_hi: jnp.ndarray  # [Nb,3]
+    box_mtype: jnp.ndarray  # [Nb]
+    box_albedo: jnp.ndarray  # [Nb,3]
+    box_rough: jnp.ndarray  # [Nb]
+    box_ior: jnp.ndarray  # [Nb]
+    box_emitted: jnp.ndarray  # [Nb,3]
+    rct_traced: jnp.ndarray  # [Nt] int32 arange — rows the tracer sweeps
+    #   (box-owned face rows sit at the end of the rect table, past Nt)
+
     # environment (root material, ``src/scene/mod.rs:92-104``)
     root_mtype: jnp.ndarray  # [] int32
     root_albedo: jnp.ndarray  # [3]
@@ -177,6 +201,15 @@ class SceneArrays:
     @property
     def n_rects(self) -> int:
         return self.rct_hw.shape[0]
+
+    @property
+    def n_trace_rects(self) -> int:
+        """Rect rows the tracer sweeps (excludes box-owned faces)."""
+        return self.rct_traced.shape[0]
+
+    @property
+    def n_boxes(self) -> int:
+        return self.box_rough.shape[0]
 
     @property
     def n_lights(self) -> int:
@@ -315,6 +348,74 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         rct["ior"].append(m.ior)
         rct["emitted"].append(_emitted_of(m))
 
+    box = {k: [] for k in ("n", "dlo", "dhi", "sgn_lo", "sgn_hi", "mtype",
+                           "albedo", "rough", "ior", "emitted")}
+
+    def box_slabs(world, faces):
+        """(normals [3,3], dlo [3], dhi [3]) when the six faces form a
+        closed single-material parallelepiped, else None.
+
+        Affine transforms preserve face parallelism, so a true cuboid's
+        world faces always pair into three slabs; the check is numeric
+        (on the serialized data, not the constructor) because the scene
+        schema admits arbitrary ``(offset, Rect)`` sextuples
+        (``src/scene/object/cuboid.rs:14-30``) — anything that is not an
+        exact box falls back to the generic per-face rect sweep.
+        """
+        if not BOX_COMPILE or len(faces) != 6:
+            return None
+        if len({r.material for _, r in faces}) != 1:
+            return None
+        geom, corners = [], []
+        for off, r in faces:
+            fx, fy, nz, _, _ = face_geometry(world, r)
+            c = transform_point(world, off)
+            geom.append((np.asarray(c, np.float64), nz))
+            for sx in (-1.0, 1.0):
+                for sy in (-1.0, 1.0):
+                    corners.append(c + fx * (sx * r.half_width) + fy * (sy * r.half_height))
+        # a closed box has 8 corners, each shared by exactly 3 faces
+        pts = np.asarray(corners, np.float64)
+        scale = max(1.0, float(np.abs(pts).max()))
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        if not np.all((d2 < (1e-5 * scale) ** 2).sum(1) == 3):
+            return None
+        used = [False] * 6
+        slabs = []
+        for i in range(6):
+            if used[i]:
+                continue
+            ci, ni = geom[i]
+            pair = next(
+                (j for j in range(i + 1, 6)
+                 if not used[j] and np.linalg.norm(geom[j][1] + ni) < 1e-5),
+                None,
+            )
+            if pair is None:
+                return None
+            used[i] = used[pair] = True
+            d_i, d_j = float(ni @ ci), float(ni @ geom[pair][0])
+            # stored-orientation signs of the lo/hi planes' faces relative
+            # to the slab normal: face i is +1, its antiparallel pair -1.
+            # The reference's face codes depend on them (front iff
+            # dir·m_face < 0) and its own constructor mixes conventions
+            # (``cuboid.rs:19-30``: the z-pair points inward, x/y outward).
+            if d_i <= d_j:
+                slabs.append((ni, d_i, d_j, 1.0, -1.0))
+            else:
+                slabs.append((ni, d_j, d_i, -1.0, 1.0))
+        if len(slabs) != 3:
+            return None
+        return (
+            np.asarray([s[0] for s in slabs], np.float32),
+            np.asarray([s[1] for s in slabs], np.float32),
+            np.asarray([s[2] for s in slabs], np.float32),
+            np.asarray([s[3] for s in slabs], np.float32),
+            np.asarray([s[4] for s in slabs], np.float32),
+        )
+
+    boxed_cuboids = []  # (ref, world, faces, slabs): rect rows emitted last
+
     for ref, obj in scene.pairs():
         world = obj.transform.world
         inner = obj.inner
@@ -339,12 +440,35 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
             rect_rows_of_obj[ref] = [len(rct["hw"])]
             add_rect(world, np.zeros(3), inner)
         elif isinstance(inner, Cuboid):
+            slabs = box_slabs(world, inner.faces)
+            if slabs is not None:
+                boxed_cuboids.append((ref, world, inner.faces, slabs))
+                continue  # face rects emitted after the traced rows
             rows = []
             for offset, rect in inner.faces:
                 rows.append(len(rct["hw"]))
                 add_rect(world, offset, rect)
             rect_rows_of_obj[ref] = rows
         # Camera / Empty objects are not hit-testable (``object/mod.rs:178``)
+
+    n_trace_rects = len(rct["hw"])  # box-owned face rows start here
+    for ref, world, faces, (bn, bdlo, bdhi, bslo, bshi) in boxed_cuboids:
+        rows = []
+        for offset, rect in faces:
+            rows.append(len(rct["hw"]))
+            add_rect(world, offset, rect)
+        rect_rows_of_obj[ref] = rows
+        m = mat(faces[0][1].material)
+        box["n"].append(bn)
+        box["dlo"].append(bdlo)
+        box["dhi"].append(bdhi)
+        box["sgn_lo"].append(bslo)
+        box["sgn_hi"].append(bshi)
+        box["mtype"].append(_MATERIAL_CODES[m.kind])
+        box["albedo"].append(m.albedo)
+        box["rough"].append(m.roughness)
+        box["ior"].append(m.ior)
+        box["emitted"].append(_emitted_of(m))
 
     # lights
     lights = [(ref, obj) for ref, obj in scene.pairs() if obj.has_flags(ObjectFlags.LIGHT)]
@@ -456,6 +580,17 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         rct_rough=f(rct["rough"], (Nr,)),
         rct_ior=f(rct["ior"], (Nr,)),
         rct_emitted=f(rct["emitted"], (Nr, 3)),
+        box_n=f(box["n"], (len(box["rough"]), 3, 3)),
+        box_dlo=f(box["dlo"], (len(box["rough"]), 3)),
+        box_dhi=f(box["dhi"], (len(box["rough"]), 3)),
+        box_sgn_lo=f(box["sgn_lo"], (len(box["rough"]), 3)),
+        box_sgn_hi=f(box["sgn_hi"], (len(box["rough"]), 3)),
+        box_mtype=i32(box["mtype"]).reshape(len(box["rough"])),
+        box_albedo=f(box["albedo"], (len(box["rough"]), 3)),
+        box_rough=f(box["rough"], (len(box["rough"]),)),
+        box_ior=f(box["ior"], (len(box["rough"]),)),
+        box_emitted=f(box["emitted"], (len(box["rough"]), 3)),
+        rct_traced=np.arange(n_trace_rects, dtype=np.int32),
         root_mtype=i32(_MATERIAL_CODES[root.kind]),
         root_albedo=f(root.albedo),
         root_emitted=f(_emitted_of(root)),

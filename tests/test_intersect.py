@@ -241,3 +241,46 @@ def test_nearest_hit_picks_closest():
     hit, _ = trace_one(scene, [0, 0, 0], [0, 0, -1])
     assert float(hit.t[0]) == pytest.approx(2.0)
     assert int(hit.sphere_row[0]) >= 0
+
+
+class TestBoxCompile:
+    """Cuboids compile to three-slab boxes; geometry must match the
+    per-face rect sweep (the two formulas differ only in rounding)."""
+
+    def test_cornell_box_counts(self):
+        from bendy_tpu.scene import load_scene
+
+        arr = compile_scene(load_scene("scenes/cornell.json.gz"))
+        assert arr.n_boxes == 2
+        assert arr.n_trace_rects == 6  # 5 walls + light
+        assert arr.n_rects == 18  # oracle table keeps the 12 face rects
+
+    def test_box_equals_rect_fallback(self):
+        import bendy_tpu.scene.compiler as C
+        from bendy_tpu.film import Film
+        from bendy_tpu.render import Config, Renderer, RenderConfig, Subsample
+        from bendy_tpu.scene import load_scene
+
+        def render(scene):
+            cam = scene.find_by_tag("camera")
+            scene.get_object(cam).inner.aspect_ratio = 1.0
+            film = Film(24, 24)
+            Renderer(scene, Config(max_bounces=4)).render(
+                cam, RenderConfig(samples=4, subsample=Subsample(1)), film, seed=11
+            )
+            return film.mean()
+
+        img_box = render(load_scene("scenes/cornell.json.gz"))
+        assert compile_scene(load_scene("scenes/cornell.json.gz")).n_boxes == 2
+        old = C.BOX_COMPILE
+        C.BOX_COMPILE = False
+        try:
+            scene = load_scene("scenes/cornell.json.gz")
+            assert compile_scene(scene).n_boxes == 0
+            img_rect = render(scene)
+        finally:
+            C.BOX_COMPILE = old
+        # identical geometry, different fp formula: ulp-level t noise can
+        # flip a rare sample at a box edge, so compare statistically
+        np.testing.assert_allclose(img_box.mean(), img_rect.mean(), rtol=2e-3)
+        np.testing.assert_allclose(img_box, img_rect, atol=0.05)
