@@ -23,7 +23,8 @@ from bendy_tpu.scene import load_scene
 TARGET = 50.0  # Mrays/sec/chip (BASELINE.json)
 
 
-def timed_render(scene, width, height, samples, subsample, config=Config(), repeats=7):
+def timed_render(scene, width, height, samples, subsample, config=Config(),
+                 repeats=7, passes=1):
     """{'best','median','seconds_best','seconds_median'} over fresh-seed passes.
 
     Timing wraps render + ``film.block_until_ready()`` — the film is
@@ -32,6 +33,14 @@ def timed_render(scene, width, height, samples, subsample, config=Config(), repe
     the timed region. Warmup shares the measured statics (different
     statics would time a recompile); fresh seeds every repeat (the axon
     backend memoizes identical executions).
+
+    ``passes``: renders chained back-to-back on the device inside ONE
+    timed region (each with its own fresh seed), reported per pass. The
+    remote tunnel costs ~1 RTT (~30 ms, high variance) per device sync —
+    comparable to a whole 64-spp pass — so single-pass timings measure
+    tunnel jitter, not the chip. Chaining amortizes the one sync across
+    N passes; DeviceFilm accumulation keeps everything device-side in
+    between. seconds_* are per pass (wall / passes).
     """
     import os
 
@@ -49,11 +58,12 @@ def timed_render(scene, width, height, samples, subsample, config=Config(), repe
         film = DeviceFilm(width, height)
         r.rays_traced = 0.0
         t0 = time.time()
-        r.render(cam_ref, rc, film, seed=base + 1 + i)
+        for p in range(passes):
+            r.render(cam_ref, rc, film, seed=base + 1 + i * passes + p)
         film.block_until_ready()
         dt = time.time() - t0
         mrays.append(r.rays_traced / dt / 1e6)  # rays fetch: untimed
-        secs.append(dt)
+        secs.append(dt / passes)
     return {
         "best": max(mrays),
         "median": statistics.median(mrays),
@@ -64,11 +74,11 @@ def timed_render(scene, width, height, samples, subsample, config=Config(), repe
 
 def main() -> None:
     scene = load_scene("scenes/cornell.json.gz")
-    res = timed_render(scene, 256, 256, 64, 2)
+    res = timed_render(scene, 256, 256, 64, 2, passes=4)
     print(
         json.dumps(
             {
-                "metric": "Mrays/sec/chip cornell 256x256@64spp(x4 subpixels), median of 7",
+                "metric": "Mrays/sec/chip cornell 256x256@64spp(x4 subpixels), median of 7 (4-pass chained)",
                 "value": round(res["median"], 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(res["median"] / TARGET, 3),
@@ -92,13 +102,14 @@ def main() -> None:
             ("volume", 64, 2),
             ("cloud", 64, 2),
         ]:
-            rr = timed_render(load_scene(f"scenes/{name}.json.gz"), 256, 256, spp, sub)
+            rr = timed_render(load_scene(f"scenes/{name}.json.gz"), 256, 256, spp, sub,
+                              passes=4)
             results[name] = row(rr)
             print(f"{name}: {rr['median']:.1f} Mrays/s median "
                   f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
         rr = timed_render(
             load_scene("scenes/blackhole.json.gz"), 512, 512, 32, 1,
-            Config(max_bounces=2),
+            Config(max_bounces=2), passes=4,
         )
         # the lensed north-star config, linearly projected to a v5e-8 pod
         proj = rr["seconds_median"] * (1920 * 1080 * 256) / (512 * 512 * 32) / 8
