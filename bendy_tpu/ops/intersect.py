@@ -222,7 +222,8 @@ def nearest_hit(
     march: Optional[jnp.ndarray] = None,
     last_sphere: Optional[jnp.ndarray] = None,
     propagate=None,
-    carry_specular: bool = True,
+    carry_rough: bool = True,
+    carry_ior: bool = True,
     carry_volumes: bool = True,
 ) -> Hit:
     """Nearest hit across all primitives for each lane.
@@ -232,10 +233,10 @@ def nearest_hit(
     still inside, an interior VOLUME event at t=cmax replaces that sphere's
     surface test.
 
-    ``carry_specular`` / ``carry_volumes`` are static scene facts: when no
-    primitive is Metallic/Glass (resp. carries a volume), the rough/ior
-    (resp. grid-binding) attributes are never read, so their per-primitive
-    winner selects are dropped and the Hit fields return placeholders.
+    ``carry_rough`` / ``carry_ior`` / ``carry_volumes`` are static scene
+    facts: when no primitive is Metallic/Glass (rough), Glass (ior), resp.
+    carries a volume, the attribute is never read, so its per-primitive
+    winner selects are dropped and the Hit field returns a placeholder.
     """
     B = org.x.shape
     zero = jnp.zeros(B, org.x.dtype)
@@ -296,8 +297,9 @@ def nearest_hit(
                         row3(scn.sph_emitted, k)),
             c_color,
         )
-        if carry_specular:
+        if carry_rough:
             c_rough = jnp.where(better, scn.sph_rough[k], c_rough)
+        if carry_ior:
             c_ior = jnp.where(better, scn.sph_ior[k], c_ior)
         if carry_volumes:
             c_vgrid = jnp.where(better, scn.sph_vol_grid[k], c_vgrid)
@@ -327,8 +329,9 @@ def nearest_hit(
                         row3(scn.rct_emitted, k)),
             c_color,
         )
-        if carry_specular:
+        if carry_rough:
             c_rough = jnp.where(better, scn.rct_rough[k], c_rough)
+        if carry_ior:
             c_ior = jnp.where(better, scn.rct_ior[k], c_ior)
         if carry_volumes:
             c_vgrid = c_vgrid * keep_i - better_i
@@ -354,8 +357,9 @@ def nearest_hit(
                         row3(scn.box_emitted, k)),
             c_color,
         )
-        if carry_specular:
+        if carry_rough:
             c_rough = jnp.where(better, scn.box_rough[k], c_rough)
+        if carry_ior:
             c_ior = jnp.where(better, scn.box_ior[k], c_ior)
         if carry_volumes:
             c_vgrid = c_vgrid * keep_i - better_i

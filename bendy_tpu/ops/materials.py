@@ -129,16 +129,20 @@ def shade_surface(
     clip_min: float,
     clip_max: float,
     has_diffuse: bool = True,
-    has_specular: bool = True,
+    has_metallic: bool = True,
+    has_glass: bool = True,
 ) -> Shade:
     """Shade surface-face lanes; volume faces are handled by ops.volume.
 
-    ``has_diffuse`` / ``has_specular`` are *static* scene facts (derived by
-    the renderer from the compiled primitive materials): a branch whose
-    material kind no primitive carries never wins a select, so skipping it
-    is exact — it only removes per-iteration VPU work. The diffuse branch
-    is the expensive one (light-point sampling + light pdf are full sweeps
-    over the light list, every iteration).
+    ``has_diffuse`` / ``has_metallic`` / ``has_glass`` are *static* scene
+    facts (derived by the renderer from the compiled primitive materials):
+    a branch whose material kind no primitive carries never wins a select,
+    so skipping it is exact — it only removes per-iteration VPU work. The
+    diffuse branch is the expensive one (light-point sampling + light pdf
+    are full sweeps over the light list, every iteration); the glass
+    branch carries the fresnel/refract math and the ior attribute, so
+    metallic-only scenes (cornell2, the lensed showcase's companion) drop
+    ~60 ops/iteration by the finer split.
     """
     B = dir_in.x.shape
     n = hit.normal
@@ -168,11 +172,15 @@ def shade_surface(
         pdf_mix_safe = jnp.where(absorbed, 1.0, pdf_mix)
         w_diff = albedo * (pdf_cos / pdf_mix_safe)
 
-    if has_specular:
-        # --- metallic: mirror + fuzz, unit weight --------------------------
+    if has_metallic or has_glass:
+        # the hemisphere fuzz vector is shared by both specular kinds
         fuzz = distr.unit_hemisphere(n, u[2], u[3])
+
+    if has_metallic:
+        # --- metallic: mirror + fuzz, unit weight --------------------------
         d_metal = (dir_in.reflect(n) + fuzz * hit.rough).normalize()
 
+    if has_glass:
         # --- glass: probabilistic reflect/refract + fuzz --------------------
         is_front = (hit.face == FACE_FRONT) | (hit.face == FACE_VOLUME_FRONT)
         ior_eff = jnp.where(is_front, 1.0 / hit.ior, hit.ior)
@@ -183,30 +191,39 @@ def shade_surface(
         d_glass_base = V3.where(do_reflect, dir_in.reflect(n), dir_in.refract(n, ior_eff))
         d_glass = (d_glass_base + fuzz * hit.rough).normalize()
 
-    # --- select by material type ----------------------------------------
-    if has_diffuse and has_specular:
-        scatter = (
-            ((mtype == MAT_DIFFUSE) & ~absorbed)
-            | (mtype == MAT_METALLIC)
-            | (mtype == MAT_GLASS)
-        )
-        direction = V3.where(
-            mtype == MAT_DIFFUSE, d_diff, V3.where(mtype == MAT_METALLIC, d_metal, d_glass)
-        )
-        weight = V3.where(mtype == MAT_DIFFUSE, w_diff, albedo)
-    elif has_diffuse:
-        scatter = (mtype == MAT_DIFFUSE) & ~absorbed
-        direction = d_diff
-        weight = w_diff
-    elif has_specular:
-        scatter = (mtype == MAT_METALLIC) | (mtype == MAT_GLASS)
-        direction = V3.where(mtype == MAT_METALLIC, d_metal, d_glass)
-        weight = albedo
-    else:
+    # --- select by material type -----------------------------------------
+    # present kinds, in the fixed nesting order of the original
+    # diffuse/metallic/glass select tree (the last present kind is the
+    # select default, so every prior configuration is bit-identical)
+    kinds = []
+    if has_diffuse:
+        kinds.append((MAT_DIFFUSE, d_diff))
+    if has_metallic:
+        kinds.append((MAT_METALLIC, d_metal))
+    if has_glass:
+        kinds.append((MAT_GLASS, d_glass))
+
+    if not kinds:
         # flat/emissive-only scene: every surface event terminates
         scatter = jnp.zeros(B, bool)
         direction = dir_in
         weight = V3.zeros(B)
+    else:
+        scatter = None
+        for code, _ in kinds:
+            is_k = mtype == code
+            if code == MAT_DIFFUSE:
+                is_k = is_k & ~absorbed
+            scatter = is_k if scatter is None else scatter | is_k
+        direction = kinds[-1][1]
+        for code, d in reversed(kinds[:-1]):
+            direction = V3.where(mtype == code, d, direction)
+        if has_diffuse and len(kinds) > 1:
+            weight = V3.where(mtype == MAT_DIFFUSE, w_diff, albedo)
+        elif has_diffuse:
+            weight = w_diff
+        else:
+            weight = albedo
     weight = V3.where(scatter, weight, V3.zeros(B))
 
     # --- AOVs -------------------------------------------------------------

@@ -97,7 +97,10 @@ class TraceConfig(NamedTuple):
     # next-event machinery (light sweep + light pdf) dominates the shade
     # block, so no-diffuse scenes (the lensed showcase) gain the most.
     has_diffuse: bool = True  # any Diffuse material on a primitive
-    has_specular: bool = True  # any Metallic/Glass material on a primitive
+    has_metallic: bool = True  # any Metallic material on a primitive
+    has_glass: bool = True  # any Glass material on a primitive (the ior
+    #   carry, fresnel/refract math and the reflect-probability branch
+    #   exist only for it)
     has_dof: bool = True  # camera has a focus distance (thin-lens defocus)
     pending_check: int = 8  # termination test cadence: the all-lanes-done
     #   reduction runs every N iterations (iterating an all-dead state is a
@@ -377,7 +380,8 @@ def trace_core(
             org, trace_dir, cmin, cmax, scn,
             march=march if cfg.has_volumes else None,
             last_sphere=s.last_sph if cfg.has_volumes else None,
-            carry_specular=cfg.has_specular,
+            carry_rough=cfg.has_metallic or cfg.has_glass,
+            carry_ior=cfg.has_glass,
             carry_volumes=cfg.has_volumes,
         )
 
@@ -394,7 +398,8 @@ def trace_core(
         u = lane_uniforms(key, sid, path_step, n_u)
         sh = shade_surface(
             trace_dir, hit, scn, u, cfg.clip_min, cfg.clip_max,
-            has_diffuse=cfg.has_diffuse, has_specular=cfg.has_specular,
+            has_diffuse=cfg.has_diffuse, has_metallic=cfg.has_metallic,
+            has_glass=cfg.has_glass,
         )
         env_color, env_alb, env_nrm, env_dep = _env_terms(scn, trace_dir, cfg.clip_max)
 

@@ -200,7 +200,8 @@ class Renderer:
         from bendy_tpu.scene.compiler import MAT_DIFFUSE, MAT_GLASS, MAT_METALLIC
 
         self.has_diffuse = MAT_DIFFUSE in mtypes
-        self.has_specular = MAT_METALLIC in mtypes or MAT_GLASS in mtypes
+        self.has_metallic = MAT_METALLIC in mtypes
+        self.has_glass = MAT_GLASS in mtypes
 
     @property
     def rays_traced(self) -> float:
@@ -283,7 +284,8 @@ class Renderer:
             # "geodesic" block > GeoParams defaults
             geo=cfg.geo if cfg.geo is not None else self._scene_geo(),
             has_diffuse=self.has_diffuse,
-            has_specular=self.has_specular,
+            has_metallic=self.has_metallic,
+            has_glass=self.has_glass,
             has_dof=has_dof,
             # the AOV pipeline (13 extra loop-carry arrays) compiles only
             # when an AOV channel is actually requested

@@ -3,7 +3,7 @@
 The renderer derives static facts from the compiled scene (which material
 kinds exist, whether the camera has a focus distance) and drops the
 integrator branches that are dead code for every lane
-(``TraceConfig.has_diffuse/has_specular/has_dof``). These tests render
+(``TraceConfig.has_diffuse/has_metallic/has_glass/has_dof``). These tests render
 with the derived (specialized) config and with the fully generic config
 and require bit-identical images — the specialization must be a pure
 compile-time strength reduction, never an approximation.
@@ -53,7 +53,8 @@ def assert_specialized_exact(scene, **expect):
         assert getattr(r, attr) == val, (attr, val)
     cam_ref = scene.find_by_tag("camera")
     spec = r.trace_config(r.config, cam_ref)
-    generic = spec._replace(has_diffuse=True, has_specular=True, has_dof=True)
+    generic = spec._replace(has_diffuse=True, has_metallic=True, has_glass=True,
+                            has_dof=True)
     assert spec != generic  # the test must actually exercise a dropped branch
     img_s, rays_s = _render_with_cfg(r, cam_ref, spec)
     img_g, rays_g = _render_with_cfg(r, cam_ref, generic)
@@ -63,7 +64,32 @@ def assert_specialized_exact(scene, **expect):
 
 def test_no_diffuse_no_dof_specialization_exact():
     assert_specialized_exact(
-        emissive_metal_scene(), has_diffuse=False, has_specular=True
+        emissive_metal_scene(), has_diffuse=False, has_metallic=True,
+        has_glass=True
+    )
+
+
+def test_metallic_only_specialization_exact():
+    # glass replaced by metal: the fresnel/refract branch and the ior
+    # carry drop out entirely
+    scene = emissive_metal_scene()
+    for _, d in scene.data.items():
+        m = d.as_material()
+        if m is not None and m.kind == "glass":
+            d.inner = Material.metallic(m.albedo, 0.2)
+    assert_specialized_exact(
+        scene, has_diffuse=False, has_metallic=True, has_glass=False
+    )
+
+
+def test_glass_only_specialization_exact():
+    scene = emissive_metal_scene()
+    for _, d in scene.data.items():
+        m = d.as_material()
+        if m is not None and m.kind == "metallic":
+            d.inner = Material.glass(m.albedo, 0.05, 1.5)
+    assert_specialized_exact(
+        scene, has_diffuse=False, has_metallic=False, has_glass=True
     )
 
 
@@ -73,7 +99,8 @@ def test_diffuse_only_specialization_exact():
     from bendy_tpu.scene import load_scene
 
     assert_specialized_exact(
-        load_scene("scenes/cornell.json.gz"), has_diffuse=True, has_specular=False
+        load_scene("scenes/cornell.json.gz"), has_diffuse=True,
+        has_metallic=False, has_glass=False
     )
 
 
@@ -86,7 +113,7 @@ def test_flat_emissive_only_scene_renders():
         if m is not None and m.kind in ("metallic", "glass"):
             d.inner = Material.flat(m.albedo)
     r = Renderer(scene, Config(), use_pallas=False)
-    assert not r.has_diffuse and not r.has_specular
+    assert not r.has_diffuse and not r.has_metallic and not r.has_glass
     from bendy_tpu.film import Film
 
     cam = scene.find_by_tag("camera")
