@@ -36,6 +36,15 @@ from bendy_tpu.utils.v3 import V3
 LANE = 128  # TPU lane width
 DEFAULT_ROWS = 32  # sublane rows per block -> 4096 lanes/block (swept optimum;
 #   smaller blocks exit earlier on coherent regions, larger ones amortize less)
+GEODESIC_ROWS = 16  # geodesic scenes prefer smaller blocks: path lengths are
+#   wildly bimodal (sky lanes ~2 iterations, photon-sphere orbiters 100s), so
+#   finer blocks cash in the per-block early exit (1080p lensed: 4.72 s @ 32
+#   rows -> 4.55 s @ 16; 8 rows over-fragments to 6.9 s)
+
+
+def rows_for(cfg) -> int:
+    """Swept per-config block height (see DEFAULT_ROWS / GEODESIC_ROWS)."""
+    return GEODESIC_ROWS if cfg.geodesic else DEFAULT_ROWS
 
 N_OUT = 10  # rx ry rz ax ay az nx ny nz dep
 
@@ -90,7 +99,7 @@ def make_pallas_tracer(
     subsample: int,
     cfg: TraceConfig,
     spp_total: int | None = None,
-    block_rows: int = DEFAULT_ROWS,
+    block_rows: int | None = None,
     interpret: bool = False,
 ):
     """Build the megakernel tracer for one compiled scene.
@@ -105,6 +114,8 @@ def make_pallas_tracer(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if block_rows is None:
+        block_rows = rows_for(cfg)
     scn_host = scn.host_copy()  # numpy leaves -> kernel constants
 
     def kernel(pix_ref, sub_ref, cam_ref, aux_ref, *outs):
@@ -197,7 +208,7 @@ def make_pallas_render_pass(
     subsample: int,
     cfg: TraceConfig,
     output: str,
-    block_rows: int = DEFAULT_ROWS,
+    block_rows: int | None = None,
     interpret: bool = False,
 ):
     """Megakernel equivalent of ``render.render_pass``: returns

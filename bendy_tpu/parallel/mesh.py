@@ -145,7 +145,7 @@ def render_film_sharded(
 
 def make_pallas_pass_sharded(
     scn, mesh: Mesh, width: int, height: int, spp_local: int, subsample: int,
-    cfg: TraceConfig, output: str, block_rows: int = 32, interpret: bool = False,
+    cfg: TraceConfig, output: str, block_rows: int | None = None, interpret: bool = False,
 ):
     """Sharded render pass running the Pallas megakernel per device.
 
