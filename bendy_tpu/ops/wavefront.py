@@ -349,14 +349,18 @@ def trace_core(
         if cfg.geodesic:
             # horizon capture / step-budget exhaustion swallow the path.
             # geo_step_begin fuses the capture/far tests, the adaptive step
-            # and the conserved per-mass h² into one mass sweep.
+            # and the conserved per-mass h² into one mass sweep. Capture
+            # applies to EVERY alive lane — volume-marching lanes included
+            # (a medium enclosing the mass must not let straight march
+            # segments tunnel through the horizon); the step budget only
+            # binds surface-mode lanes (geo_steps does not advance during
+            # a march).
             surf_mode = mode == MODE_SURFACE
             captured, far_field, ds, h2s = geo_step_begin(
                 scn, org, dirv, geo, steps=geo_steps
             )
-            mode = mode * (
-                1 - (surf_mode & (captured | (geo_steps > geo.max_steps))).astype(jnp.int32)
-            )
+            swallowed = captured | (surf_mode & (geo_steps > geo.max_steps))
+            mode = mode * (1 - ((mode != MODE_DEAD) & swallowed).astype(jnp.int32))
 
         alive = mode != MODE_DEAD
         march = mode == MODE_MARCH

@@ -86,6 +86,39 @@ def test_capture_makes_shadow():
     assert m[0, 0] > 0.9  # corner sees the env
 
 
+def test_capture_inside_enclosing_volume():
+    """A medium ENCLOSING the mass must not let march segments tunnel
+    through the horizon: the shadow persists when the whole region is a
+    (near-transparent) volume sphere."""
+    scene = Scene()
+    env = scene.add_data(Data(Material.emissive((1, 1, 1), 1.0)))
+    scene.set_root_material(env)
+    scene.add_object(Object().with_tag("mass:1.0"))
+    scene.add_object(
+        Object(Camera(focus=None)).with_tag("camera").with_translation([0, 0, 10.0])
+    )
+    vol = scene.add_data(Data(DensityMap.with_value(4, 4, 4, 0.01)))
+    shell = scene.add_data(Data(Material.flat((1, 1, 1))))
+    scene.add_object(Object(Sphere(material=shell, radius=4.0, volume=vol)))
+    light = scene.add_data(Data(Material.emissive((1, 1, 1), 1.0)))
+    scene.add_object(
+        Object(Sphere(material=light, radius=0.1)).with_translation([0, 300, 0]).with_flags(
+            ObjectFlags.LIGHT
+        )
+    )
+    geo = GeoParams(eta=0.25, min_step=0.05, max_step=4.0, far=60.0, max_steps=128)
+    # volume_step large enough that crossing the r=4 sphere stays under
+    # the reference's 32-march cap
+    r = Renderer(scene, Config(max_bounces=2, volume_step=0.5, geo=geo))
+    assert r.has_masses and r.has_volumes
+    cam = scene.find_by_tag("camera")
+    film = Film(17, 17)
+    r.render(cam, RenderConfig(samples=4, subsample=Subsample(1)), film, seed=1)
+    m = film.mean().mean(-1)
+    assert m[8, 8] < 0.05  # still a shadow: march lanes get captured too
+    assert m[0, 0] > 0.8  # corners see the env through the thin medium
+
+
 def test_emissive_first_hit_aov_quirks():
     """Reference ColorData::from_emitted: an emissive primary hit reports
     albedo := emitted, normal := 0, depth := +inf -> normalized 1
