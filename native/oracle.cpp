@@ -476,6 +476,13 @@ static V3 sample_volumetric(const Ctx& c, Rng& rng, V3 o, V3 d, int last_row, in
                             int vbounce, int geo_steps) {
   const Scene& s = c.s;
   if (vbounce > s.max_volume_bounces) return {0, 0, 0};
+  // horizon capture applies during a march too (a medium enclosing the
+  // mass must not let straight march segments tunnel through rs)
+  if (s.n_masses > 0) {
+    bool captured, far;
+    geo_capture_far(s, o, d, &captured, &far);
+    if (captured) return {0, 0, 0};
+  }
   Manifold m = nearest(s, o, d, 0.f, s.volume_step, last_row);
   if (!m.valid) return sample_root(c);
   if (m.face == FRONT || m.face == BACK) return sample_surface(c, rng, m, d, bounce, geo_steps);

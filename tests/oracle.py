@@ -427,6 +427,11 @@ class Oracle:
     def _sample_volumetric(self, org, d, last_prim, bounce, vbounce, geo_steps=0):
         if vbounce > self.max_vb:
             return np.zeros(3)
+        # horizon capture applies during a march too: a medium enclosing a
+        # mass must not let straight march segments tunnel through rs
+        # (mirrors ops/wavefront geodesic capture of every alive lane)
+        if self.masses and self._capture_and_far(org, d)[0]:
+            return np.zeros(3)
         h = self._try_hit(org, d, 0.0, self.step, march_prim=last_prim)
         if h is None:
             return self._sample_root()
