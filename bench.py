@@ -122,6 +122,14 @@ def main() -> None:
             f"on v5e-8: {proj:.1f}s",
             file=sys.stderr,
         )
+        # geodesic x volume: the volumetric accretion-disk showcase
+        rr = timed_render(
+            load_scene("scenes/blackhole_cloud.json.gz"), 512, 288, 32, 1,
+            Config(max_bounces=2, volume_step=0.6), passes=4,
+        )
+        results["blackhole_cloud"] = row(rr)
+        print(f"blackhole_cloud: {rr['median']:.1f} Mrays/s median "
+              f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
         # the north star measured for real (median of 3: ~6 s/pass)
         rr = timed_render(
             load_scene("scenes/blackhole.json.gz"), 1920, 1080, 256, 1,
