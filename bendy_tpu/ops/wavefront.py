@@ -102,6 +102,12 @@ class TraceConfig(NamedTuple):
     #   carry, fresnel/refract math and the reflect-probability branch
     #   exist only for it)
     has_dof: bool = True  # camera has a focus distance (thin-lens defocus)
+    regen_every: int = 1  # static regen cadence: 2 = the finalize+camera
+    #   block compiles into every OTHER iteration only (dead lanes wait at
+    #   most one iteration; alive lanes are unaffected). Pays when paths
+    #   are long (geodesic: camera math is ~13% of the body and deaths are
+    #   ~1/20 per iteration); loses on short-path scenes where the idle
+    #   half-iteration outweighs it. Only 1 and 2 are supported.
     pending_check: int = 8  # termination test cadence: the all-lanes-done
     #   reduction runs every N iterations (iterating an all-dead state is a
     #   masked no-op, so overshooting by up to N-1 iterations is exact; the
@@ -292,8 +298,30 @@ def trace_core(
     def cond(s: _State):
         return (s.it < cfg.max_iters(spp)) & (s.n_pending > 0)
 
-    def body(s: _State) -> _State:
+    def body(s: _State, do_regen: bool = True) -> _State:
         # === finalize dead paths, regenerate camera rays ===================
+        # ``do_regen`` is STATIC: on a no-regen iteration (regen_every > 1)
+        # the whole finalize+camera block is compile-time absent — dead
+        # lanes keep waiting (their paths fold on the next regen iteration
+        # or in the post-loop fold), alive lanes trace as usual. The
+        # bounce-cap section below still runs (caps kill at path entry).
+        if not do_regen:
+            acc_rad, acc_alb, acc_nrm, acc_dep = (
+                s.acc_rad, s.acc_alb, s.acc_nrm, s.acc_dep
+            )
+            path_open, path_step, sample = s.path_open, s.path_step, s.sample
+            sid = sample_id(jnp.maximum(sample, 0))
+            org, dirv, thr, rad = s.org, s.dir, s.thr, s.rad
+            bounce, vbounce, mode = s.bounce, s.vbounce, s.mode
+            aov_open, aov_alb, aov_nrm, aov_dep = (
+                s.aov_open, s.aov_alb, s.aov_nrm, s.aov_dep
+            )
+            geo_steps, fresh = s.geo_steps, s.fresh
+            return _body_trace(
+                s, acc_rad, acc_alb, acc_nrm, acc_dep, path_open, path_step,
+                sample, sid, org, dirv, thr, rad, bounce, vbounce, mode,
+                aov_open, aov_alb, aov_nrm, aov_dep, geo_steps, fresh,
+            )
         dead = s.mode == MODE_DEAD
         fin = dead & (s.path_open != 0)
         acc_rad = s.acc_rad + V3.where(fin, s.rad, zv)
@@ -338,7 +366,16 @@ def trace_core(
             )
         geo_steps = s.geo_steps * keep_i if cfg.geodesic else s.geo_steps
         fresh = jnp.maximum(regen_i, s.fresh) if cfg.geodesic else s.fresh
+        return _body_trace(
+            s, acc_rad, acc_alb, acc_nrm, acc_dep, path_open, path_step,
+            sample, sid, org, dirv, thr, rad, bounce, vbounce, mode,
+            aov_open, aov_alb, aov_nrm, aov_dep, geo_steps, fresh,
+        )
 
+    def _body_trace(s, acc_rad, acc_alb, acc_nrm, acc_dep, path_open,
+                    path_step, sample, sid, org, dirv, thr, rad, bounce,
+                    vbounce, mode, aov_open, aov_alb, aov_nrm, aov_dep,
+                    geo_steps, fresh) -> _State:
         # === bounce-cap kills at path entry (``tracer/mod.rs:323-325,352-354``)
         over_b = (mode == MODE_SURFACE) & (bounce > cfg.max_bounces)
         if cfg.has_volumes:
@@ -373,12 +410,24 @@ def trace_core(
             seg_dir = chord * (1.0 / jnp.maximum(chord_len, 1e-20))
             near = (mode == MODE_SURFACE) & ~far_field
             trace_dir = V3.where(near, seg_dir, dirv)
-            cmin = jnp.where(march, 0.0, jnp.where(fresh, cfg.clip_min, 0.0))
-            cmax = jnp.where(march, cfg.volume_step, jnp.where(near, chord_len, cfg.clip_max))
+            # without volumes, march is statically never true: the clip
+            # selects against it fold away (mode provably stays in {0,1})
+            if cfg.has_volumes:
+                cmin = jnp.where(march, 0.0, jnp.where(fresh, cfg.clip_min, 0.0))
+                cmax = jnp.where(march, cfg.volume_step,
+                                 jnp.where(near, chord_len, cfg.clip_max))
+            else:
+                cmin = jnp.where(fresh, cfg.clip_min, 0.0)
+                cmax = jnp.where(near, chord_len, cfg.clip_max)
         else:
             trace_dir = dirv
-            cmin = jnp.where(march, 0.0, cfg.clip_min) * jnp.ones(B)
-            cmax = jnp.where(march, cfg.volume_step, cfg.clip_max) * jnp.ones(B)
+            if cfg.has_volumes:
+                cmin = jnp.where(march, 0.0, cfg.clip_min) * jnp.ones(B)
+                cmax = jnp.where(march, cfg.volume_step, cfg.clip_max) * jnp.ones(B)
+            else:
+                # plain Python floats: vector-vs-scalar compares downstream
+                cmin = cfg.clip_min
+                cmax = cfg.clip_max
 
         hit = nearest_hit(
             org, trace_dir, cmin, cmax, scn,
@@ -504,10 +553,17 @@ def trace_core(
         # run pending_check iterations, then one termination reduction.
         # Iterating an all-dead state is a fully-masked no-op, so the
         # overshoot is exact; the savings are (N-1)/N of the per-iteration
-        # cross-lane reductions.
-        s = jax.lax.fori_loop(
-            0, max(cfg.pending_check, 1), lambda _, ss: body(ss), s
-        )
+        # cross-lane reductions. With regen_every=2 the fori step is a
+        # statically-unrolled (regen, no-regen) iteration pair.
+        if cfg.regen_every == 2:
+            s = jax.lax.fori_loop(
+                0, max(cfg.pending_check // 2, 1),
+                lambda _, ss: body(body(ss, True), False), s,
+            )
+        else:
+            s = jax.lax.fori_loop(
+                0, max(cfg.pending_check, 1), lambda _, ss: body(ss), s
+            )
         n_pending = jnp.sum(
             ((s.mode != MODE_DEAD) | (s.sample + 1 < spp)).astype(jnp.int32)
         )

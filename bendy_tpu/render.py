@@ -287,6 +287,9 @@ class Renderer:
             has_metallic=self.has_metallic,
             has_glass=self.has_glass,
             has_dof=has_dof,
+            # long-path scenes amortize the regen (finalize+camera) block
+            # over every other iteration; short-path scenes keep it inline
+            regen_every=2 if self.has_masses else 1,
             # the AOV pipeline (13 extra loop-carry arrays) compiles only
             # when an AOV channel is actually requested
             want_aovs=cfg.output is not Output.FULL,
