@@ -289,7 +289,8 @@ class Renderer:
             has_dof=has_dof,
             # long-path scenes amortize the regen (finalize+camera) block
             # over every other iteration; short-path scenes keep it inline
-            regen_every=2 if self.has_masses else 1,
+            # (measured: geodesic +10%, volume scenes +6%, cornell loses)
+            regen_every=2 if (self.has_masses or self.has_volumes) else 1,
             # the AOV pipeline (13 extra loop-carry arrays) compiles only
             # when an AOV channel is actually requested
             want_aovs=cfg.output is not Output.FULL,
