@@ -36,15 +36,17 @@ from bendy_tpu.utils.v3 import V3
 LANE = 128  # TPU lane width
 DEFAULT_ROWS = 32  # sublane rows per block -> 4096 lanes/block (swept optimum;
 #   smaller blocks exit earlier on coherent regions, larger ones amortize less)
-GEODESIC_ROWS = 16  # geodesic scenes prefer smaller blocks: path lengths are
-#   wildly bimodal (sky lanes ~2 iterations, photon-sphere orbiters 100s), so
-#   finer blocks cash in the per-block early exit (1080p lensed: 4.72 s @ 32
-#   rows -> 4.55 s @ 16; 8 rows over-fragments to 6.9 s)
+LONGPATH_ROWS = 16  # geodesic and volume scenes prefer smaller blocks:
+#   path lengths are wildly bimodal (sky lanes ~2 iterations, photon-sphere
+#   orbiters / deep marches 100s), so finer blocks cash in the per-block
+#   early exit (1080p lensed: 4.72 s @ 32 rows -> 4.55 s @ 16; volume/cloud
+#   +1-2%; 8 rows over-fragments to 6.9 s; cornell-class scenes measured
+#   slower at 16 and 64)
 
 
 def rows_for(cfg) -> int:
-    """Swept per-config block height (see DEFAULT_ROWS / GEODESIC_ROWS)."""
-    return GEODESIC_ROWS if cfg.geodesic else DEFAULT_ROWS
+    """Swept per-config block height (see DEFAULT_ROWS / LONGPATH_ROWS)."""
+    return LONGPATH_ROWS if (cfg.geodesic or cfg.has_volumes) else DEFAULT_ROWS
 
 N_OUT = 10  # rx ry rz ax ay az nx ny nz dep
 
