@@ -75,27 +75,31 @@ def timed_render(scene, width, height, samples, subsample, config=Config(),
 def main() -> None:
     scene = load_scene("scenes/cornell.json.gz")
     res = timed_render(scene, 256, 256, 64, 2, passes=4)
+    retry_median = None
     if res["median"] < 0.75 * res["best"]:
         # a median far below the best of the same run means the remote
         # service degraded mid-measurement (observed: transient windows
         # where chained passes stall); repeat once and report whichever
-        # run has the better MEDIAN — still a median, never a best-of
+        # run has the better MEDIAN — still a median, never a best-of.
+        # Both medians go into the JSON so the artifact shows the spread
+        # the selection would otherwise hide.
         print("degraded-window spread detected; repeating measurement",
               file=sys.stderr)
         res2 = timed_render(scene, 256, 256, 64, 2, passes=4)
+        retry_median = round(min(res["median"], res2["median"]), 2)
         if res2["median"] > res["median"]:
             res = res2
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays/sec/chip cornell 256x256@64spp(x4 subpixels), median of 7 (4-pass chained)",
-                "value": round(res["median"], 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(res["median"] / TARGET, 3),
-                "best": round(res["best"], 2),
-            }
-        )
-    )
+    line = {
+        "metric": "Mrays/sec/chip cornell 256x256@64spp(x4 subpixels), median of 7 (4-pass chained)",
+        "value": round(res["median"], 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(res["median"] / TARGET, 3),
+        "best": round(res["best"], 2),
+    }
+    if retry_median is not None:
+        line["retried"] = True
+        line["discarded_median"] = retry_median
+    print(json.dumps(line))
 
     if "--full" in sys.argv:
         def row(res):

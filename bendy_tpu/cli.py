@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     # [+] extensions
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", default=None, help="film checkpoint (.npz) to resume/save")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="also checkpoint every N passes (default: only at "
+                        "exit and on POST /checkpoint — each save fetches "
+                        "the full film from device, ~24 MB at 1080p over a "
+                        "~10 MB/s remote link, so a per-pass cadence would "
+                        "dominate a DeviceFilm render)")
     p.add_argument("--save-scene", default=None, help="write the loaded scene back out")
     p.add_argument("--preview-every", type=int, default=0, help="write PNG every N samples")
     p.add_argument("--spp-per-pass", type=int, default=1,
@@ -224,8 +230,12 @@ def main(argv=None) -> int:
                     print(f"command {name!r} failed: {e}", file=sys.stderr)
         if args.preview_every and film.passes % args.preview_every == 0:
             _write_png(args.screenshot, film)
-        if args.checkpoint:
+        if (args.checkpoint and args.checkpoint_every
+                and film.passes % args.checkpoint_every == 0):
             film.save_checkpoint(args.checkpoint, seed=args.seed)
+
+    if args.checkpoint:  # final state always persists (exact resume)
+        film.save_checkpoint(args.checkpoint, seed=args.seed)
 
     if profiler:
         import jax

@@ -57,7 +57,13 @@ class Hit(NamedTuple):
     normal: V3  # zero for interior volume events
     face: jnp.ndarray  # [B] face code
     mtype: jnp.ndarray  # [B] material code
-    albedo: V3
+    albedo: V3  # INVARIANT: valid only on scattering-kind lanes
+    #   (diffuse/metallic/glass). Flat/Emissive winners store their
+    #   *emitted* (intensity-scaled) color here — the sweep carries one
+    #   merged color per primitive (shade_surface reads albedo only when
+    #   scattering and emitted only when terminating, so the merge is
+    #   unobservable there); a new consumer reading albedo on a
+    #   terminating lane would get the emitted color.
     rough: jnp.ndarray  # [B]
     ior: jnp.ndarray  # [B]
     emitted: V3

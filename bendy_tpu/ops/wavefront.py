@@ -122,7 +122,12 @@ class TraceConfig(NamedTuple):
             per_path = (self.max_bounces + 2) * (self.max_volume_bounces + 2)
         if self.geodesic:
             per_path += (self.geo or _DEFAULT_GEO).max_steps
-        return per_path * spp
+        # regen_every=2 delays each regeneration by up to one iteration:
+        # a lane can idle one no-regen iteration per path, so the worst
+        # case gains spp extra iterations (without this, a hand-built
+        # config whose paths all hit the bounce cap could hit the cap and
+        # silently drop tail samples)
+        return per_path * spp + (spp if self.regen_every == 2 else 0)
 
 
 class TraceSums(NamedTuple):
@@ -217,6 +222,11 @@ def trace_core(
     zeros. Applied only to the carry *init* (an in-loop capture of a
     loop-invariant vector would trip Mosaic layout inference).
     """
+    if cfg.regen_every not in (1, 2):
+        raise ValueError(
+            f"regen_every={cfg.regen_every} unsupported (only 1 and 2: the "
+            "cadence is a static unroll of (regen, no-regen) iteration pairs)"
+        )
     B = pix.shape
     n = max(subsample, 1)
     nn = n * n

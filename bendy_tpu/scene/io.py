@@ -284,6 +284,12 @@ def scene_to_dict(scene: Scene) -> dict:
         "data": {"collection": data, "next_key": scene._next_data_key},
     }
     if getattr(scene, "geodesic", None):
+        # eager validation, mirroring the load side: a programmatically-set
+        # bad block (typoed key, wrong type) must fail at save time, next
+        # to the mistake, not at the eventual reload
+        from bendy_tpu.geodesic import geo_from_dict
+
+        geo_from_dict(scene.geodesic)
         doc["geodesic"] = scene.geodesic
     return doc
 

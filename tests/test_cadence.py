@@ -1,0 +1,100 @@
+"""Loop-cadence statics are exact.
+
+``TraceConfig.regen_every=2`` (the finalize+camera block compiles into
+every other iteration) and ``pending_check=N`` (the all-lanes-done
+reduction runs every N iterations) both claim bit-identity with the
+cadence-1 configs: a delayed regeneration only makes dead lanes wait (the
+RNG is keyed by per-lane (pixel, sample) state, never by the iteration
+index), and iterating an all-dead state is a fully-masked no-op. These
+tests pin those claims with exact-equality renders, mirroring
+tests/test_specialize.py for the scene-specialization statics.
+"""
+
+import numpy as np
+import pytest
+
+from bendy_tpu.render import Config, Renderer, render_pass
+from bendy_tpu.scene import load_scene
+
+
+def _render_with_cfg(renderer, cam_ref, tcfg, W=16, H=16, spp=6):
+    cam = renderer.camera_params(cam_ref)
+    sums, rays = render_pass(
+        renderer.arrays, cam, np.uint32(11), np.int32(0), np.int32(0),
+        W, H, H, spp, 1, tcfg, "full",
+    )
+    return np.asarray(sums), float(rays)
+
+
+def assert_cadence_exact(scene, config, **overrides):
+    r = Renderer(scene, config, use_pallas=False)
+    cam_ref = scene.find_by_tag("camera")
+    base = r.trace_config(r.config, cam_ref)
+    varied = base._replace(**overrides)
+    assert base != varied  # the test must exercise a real cadence change
+    img_a, rays_a = _render_with_cfg(r, cam_ref, base)
+    img_b, rays_b = _render_with_cfg(r, cam_ref, varied)
+    np.testing.assert_array_equal(img_a, img_b)
+    assert rays_a == rays_b  # alive-lane iteration counts match exactly
+
+
+def test_regen_every_exact_volume():
+    # volume scenes derive regen_every=2; compare against the cadence-1
+    # config (identical semantics, finalize block in every iteration)
+    scene = load_scene("scenes/volume.json.gz")
+    cfg = Config(max_bounces=4, max_volume_bounces=8)
+    r = Renderer(scene, cfg, use_pallas=False)
+    assert r.trace_config(cfg, scene.find_by_tag("camera")).regen_every == 2
+    assert_cadence_exact(scene, cfg, regen_every=1)
+
+
+def test_regen_every_exact_geodesic():
+    from bendy_tpu.geodesic import GeoParams
+
+    scene = load_scene("scenes/blackhole.json.gz")
+    cfg = Config(max_bounces=2, geo=GeoParams(max_steps=48))
+    r = Renderer(scene, cfg, use_pallas=False)
+    assert r.trace_config(cfg, scene.find_by_tag("camera")).regen_every == 2
+    assert_cadence_exact(scene, cfg, regen_every=1)
+
+
+def test_regen_every_exact_flat_forced():
+    # flat scenes derive regen_every=1; force 2 and require equality —
+    # the cadence must be exact regardless of whether it pays
+    scene = load_scene("scenes/cornell.json.gz")
+    assert_cadence_exact(scene, Config(max_bounces=4), regen_every=2)
+
+
+def test_pending_check_exact_volume():
+    scene = load_scene("scenes/volume.json.gz")
+    assert_cadence_exact(
+        scene, Config(max_bounces=4, max_volume_bounces=8), pending_check=1
+    )
+
+
+def test_pending_check_exact_geodesic():
+    from bendy_tpu.geodesic import GeoParams
+
+    scene = load_scene("scenes/blackhole.json.gz")
+    assert_cadence_exact(
+        scene, Config(max_bounces=2, geo=GeoParams(max_steps=48)), pending_check=1
+    )
+
+
+def test_regen_every_validated():
+    scene = load_scene("scenes/cornell.json.gz")
+    r = Renderer(scene, Config(), use_pallas=False)
+    cam_ref = scene.find_by_tag("camera")
+    bad = r.trace_config(r.config, cam_ref)._replace(regen_every=3)
+    with pytest.raises(ValueError, match="regen_every"):
+        _render_with_cfg(r, cam_ref, bad, W=4, H=4, spp=1)
+
+
+def test_max_iters_covers_regen_delay():
+    # regen_every=2 delays each path start by up to one iteration; the
+    # safety cap must gain spp so capped-bounce paths can't drop samples
+    from bendy_tpu.ops.wavefront import TraceConfig
+
+    c1 = TraceConfig(regen_every=1)
+    c2 = TraceConfig(regen_every=2)
+    assert c2.max_iters(16) == c1.max_iters(16) + 16

@@ -46,6 +46,35 @@ def test_cli_checkpoint_resume(tmp_path):
     assert film2.samples == 4 and film2.passes == 2
 
 
+def test_cli_checkpoint_cadence(tmp_path, monkeypatch):
+    """Default cadence saves ONCE at exit (no per-pass film fetch);
+    --checkpoint-every N saves every N passes plus the final one."""
+    from bendy_tpu.film import DeviceFilm
+
+    saves = []
+    orig = DeviceFilm.save_checkpoint
+
+    def counting_save(self, path, seed=0):
+        saves.append(self.passes)
+        return orig(self, path, seed=seed)
+
+    monkeypatch.setattr(DeviceFilm, "save_checkpoint", counting_save)
+    ckpt = str(tmp_path / "film.npz")
+    # 3 passes (6 samples at 2 spp/pass), default cadence: one exit save
+    assert main(_args(tmp_path, **{"--checkpoint": ckpt, "--samples": "6"})) == 0
+    assert saves == [3]
+    film, _ = Film.load_checkpoint(ckpt)
+    assert film.samples == 6 and film.passes == 3
+
+    # resume with a cadence of 2: passes 4..6 -> saves at pass 4, 6, exit
+    saves.clear()
+    assert main(_args(tmp_path, **{"--checkpoint": ckpt, "--samples": "12",
+                                   "--checkpoint-every": "2"})) == 0
+    assert saves == [4, 6, 6]
+    film, _ = Film.load_checkpoint(ckpt)
+    assert film.samples == 12 and film.passes == 6
+
+
 def test_cli_depth_channel_and_missing_camera(tmp_path):
     assert main(_args(tmp_path, **{"--output": "depth"})) == 0
     # a scene with no camera tag errors out cleanly (rc=2)
