@@ -115,6 +115,7 @@ def main() -> None:
             ("scene", 64, 2),
             ("volume", 64, 2),
             ("cloud", 64, 2),
+            ("dense_cloud", 64, 2),  # dense 32³ grid: megakernel operand path
         ]:
             rr = timed_render(load_scene(f"scenes/{name}.json.gz"), 256, 256, spp, sub,
                               passes=4)

@@ -103,6 +103,7 @@ def make_pallas_tracer(
     spp_total: int | None = None,
     block_rows: int | None = None,
     interpret: bool = False,
+    vol_operand: bool = False,
 ):
     """Build the megakernel tracer for one compiled scene.
 
@@ -112,6 +113,12 @@ def make_pallas_tracer(
     ``interpret=True`` runs the kernel through the Pallas interpreter
     (plain XLA ops, any backend) — how CI covers this code path on the
     CPU mesh without Mosaic.
+
+    ``vol_operand=True`` ships the density-grid stack into the kernel as
+    a VMEM operand (pre-transposed [G, W, D·H]) and evaluates trilinear
+    lookups as in-kernel MXU contractions instead of the baked scalar
+    unroll — the dense-grid path (see ops.volume._density_operand). The
+    renderer selects it by nonzero-cell count.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -120,7 +127,21 @@ def make_pallas_tracer(
         block_rows = rows_for(cfg)
     scn_host = scn.host_copy()  # numpy leaves -> kernel constants
 
-    def kernel(pix_ref, sub_ref, cam_ref, aux_ref, *outs):
+    grid_t_host = None
+    if vol_operand:
+        import numpy as np
+
+        vol = np.asarray(scn_host.vol_grid)  # [G, D, H, W]
+        G, D, H, W = vol.shape
+        grid_t_host = np.ascontiguousarray(
+            vol.reshape(G, D * H, W).transpose(0, 2, 1)
+        )  # [G, W, D·H]
+
+    def kernel(pix_ref, sub_ref, cam_ref, aux_ref, *rest):
+        if vol_operand:
+            grid_ref, outs = rest[0], rest[1:]
+        else:
+            grid_ref, outs = None, rest
         cam_vals = unpack_camera(cam_ref[:])
         key_vals = (aux_ref[0, 0], aux_ref[0, 1])
         # lanes beyond the true batch (block padding) are masked inactive:
@@ -133,6 +154,7 @@ def make_pallas_tracer(
             scn_host, cam_vals, key_vals, pix_ref[:], sub_ref[:],
             width, height, spp, subsample, cfg,
             spp_total=spp_total, sample0=aux_ref[0, 2], active=active,
+            vol_grid_t=None if grid_ref is None else grid_ref[:],
         )
         vals = [
             res.radiance.x, res.radiance.y, res.radiance.z,
@@ -165,16 +187,22 @@ def make_pallas_tracer(
         rows_total = (B + pad) // LANE
         grid = rows_total // block_rows
 
+        inputs = [pix.reshape(rows_total, LANE), sub.reshape(rows_total, LANE),
+                  cam_packed, aux]
+        in_specs = [lane_spec, lane_spec, small(), small()]
+        if vol_operand:
+            inputs.append(jnp.asarray(grid_t_host))
+            in_specs.append(small())
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[lane_spec, lane_spec, small(), small()],
+            in_specs=in_specs,
             out_specs=[lane_spec] * N_OUT
             + [pl.BlockSpec((8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)],
             out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)] * N_OUT
             + [jax.ShapeDtypeStruct((grid * 8, LANE), jnp.float32)],
             interpret=interpret,
-        )(pix.reshape(rows_total, LANE), sub.reshape(rows_total, LANE), cam_packed, aux)
+        )(*inputs)
 
         flat = [o.reshape(-1)[:B] for o in outs[:N_OUT]]
         return TraceSums(
@@ -212,13 +240,15 @@ def make_pallas_render_pass(
     output: str,
     block_rows: int | None = None,
     interpret: bool = False,
+    vol_operand: bool = False,
 ):
     """Megakernel equivalent of ``render.render_pass``: returns
     ``fn(cam_packed, seed, pass_idx, y_offset) -> (sums [rows,W,3], rays)``."""
     n = max(subsample, 1)
     nn = n * n
     tracer = make_pallas_tracer(scn, width, height, spp, subsample, cfg,
-                                block_rows=block_rows, interpret=interpret)
+                                block_rows=block_rows, interpret=interpret,
+                                vol_operand=vol_operand)
 
     @jax.jit
     def run(cam_packed, seed, pass_idx, y_offset):

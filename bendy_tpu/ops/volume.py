@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from bendy_tpu.ops import distr
@@ -30,7 +31,10 @@ from bendy_tpu.scene.compiler import SceneArrays
 from bendy_tpu.utils.v3 import V3
 
 
-def density_sample(scn: SceneArrays, hit: Hit, coord: V3, nearest: bool = False) -> jnp.ndarray:
+def density_sample(
+    scn: SceneArrays, hit: Hit, coord: V3, nearest: bool = False,
+    grid_t: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Density at normalized coord (``volume.rs:140-166``).
 
     coord is clamped to [0,1]; grid coordinates scale by (w-1,h-1,d-1).
@@ -49,12 +53,20 @@ def density_sample(scn: SceneArrays, hit: Hit, coord: V3, nearest: bool = False)
 
     Exactly equals the reference's nested-lerp result (a boundary-clamped
     far corner receives weight (1-f)+f = 1).
+
+    ``grid_t`` (megakernel dense-grid path): the grid as a *kernel
+    operand*, pre-transposed to [G, W, D·H]. Selected by the renderer for
+    grids too dense for the scalar unroll below; see
+    :func:`_density_operand`.
     """
     G, D, H, W = scn.vol_grid.shape
     size = hit.vol_size  # (w-1, h-1, d-1) of the hit sphere's grid
     cx = jnp.clip(coord.x, 0.0, 1.0) * size.x
     cy = jnp.clip(coord.y, 0.0, 1.0) * size.y
     cz = jnp.clip(coord.z, 0.0, 1.0) * size.z
+
+    if grid_t is not None:
+        return _density_operand(scn, hit, grid_t, cx, cy, cz, nearest)
 
     import numpy as _np
 
@@ -124,6 +136,84 @@ def density_sample(scn: SceneArrays, hit: Hit, coord: V3, nearest: bool = False)
     return out
 
 
+def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
+    """Trilinear lookup with the grid as a Pallas kernel operand.
+
+    The megakernel's baked-constant path above scalar-unrolls nonzero
+    cells (~3 VPU ops each) — ideal for the sparse bundled grids but
+    quadratic pain for dense ones (a full 32³ grid would be ~100K ops per
+    iteration, and the unroll's compile time grows with it). This path
+    instead ships the grid to VMEM and evaluates trilinear interpolation
+    as ONE MXU contraction per grid (formulation chosen by measurement —
+    see ROUND3_NOTES.md):
+
+        t1[w, b]  = Σ_{dh}  gT[w, dh] · (wz ⊗ wy)[dh, b]    (MXU)
+        v[b]      = Σ_w     wx[w, b] · t1[w, b]             (VPU)
+
+    The (z,y) outer-product one-hot carries ≤4 nonzeros per lane; the
+    post-matmul intermediate is only [W, lanes]. Lane arrays keep the
+    kernel's native (rows, 128) tiling end to end — the contraction is a
+    rank-3 ``dot_general`` and the only reshape collapses *leading* dims
+    (free tile reindexing; collapsing into the lane dim measured ~7%
+    slower from the relayout). The outer product is chunked over z-slabs
+    so its [S·H, lanes] buffer stays within a fixed VMEM budget for large
+    grids.
+
+    Precision: DEFAULT (bf16 inputs, f32 accumulation) — the same MXU
+    precision class the XLA path's ``jnp.einsum`` uses for every grid.
+    Mosaic offers only DEFAULT and HIGHEST; HIGHEST (6-pass f32) measured
+    1.7× the per-iteration lookup cost and lost to the XLA fallback it is
+    meant to replace. The sparse scalar-unroll path above stays exact
+    f32; comparisons between the two lookup paths are therefore
+    statistical (knife-edge Bernoulli scatter decisions can flip).
+
+    ``grid_t`` is the padded grid stack pre-transposed to [G, W, D·H]
+    (host-side, once per tracer build). Index one-hots use per-lane true
+    grid extents (``hit.vol_size``), so padding cells never receive
+    weight — identical semantics to the einsum path.
+    """
+    G, D, H, W = scn.vol_grid.shape
+    shape = cx.shape
+
+    def onehot(c, n, hi):
+        ids = jax.lax.broadcasted_iota(jnp.int32, (n,) + shape, 0)
+        if nearest:
+            i_n = jnp.floor(c + 0.5).astype(jnp.int32)[None]
+            return (ids == i_n) * 1.0
+        c0 = jnp.floor(c)
+        f = (c - c0)[None]
+        i0 = c0.astype(jnp.int32)[None]
+        i1 = jnp.minimum(i0 + 1, hi.astype(jnp.int32)[None])
+        return (ids == i0) * (1.0 - f) + (ids == i1) * f
+
+    size = hit.vol_size
+    wx = onehot(cx, W, size.x)  # [W, *lanes]
+    wy = onehot(cy, H, size.y)  # [H, *lanes]
+    wz = onehot(cz, D, size.z)  # [D, *lanes]
+
+    import numpy as _np
+
+    B = int(_np.prod(shape))
+    # z-slab chunking bounds the outer-product buffer at ~8 MB of VMEM
+    slab = max(1, min(D, (8 << 20) // max(H * B * 4, 1)))
+    out = jnp.zeros_like(cx)
+    gidx = jnp.maximum(hit.vol_grid, 0)
+    for g in range(G):
+        t1 = None  # [W, *lanes]
+        for d0 in range(0, D, slab):
+            s = min(slab, D - d0)
+            wzy = (wz[d0 : d0 + s][:, None] * wy[None]).reshape((s * H,) + shape)
+            part = jax.lax.dot_general(
+                grid_t[g][:, d0 * H : (d0 + s) * H], wzy,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [W, *lanes]
+            t1 = part if t1 is None else t1 + part
+        vg = jnp.sum(t1 * wx, axis=0)
+        out = vg if G == 1 else jnp.where(gidx == g, vg, out)
+    return out
+
+
 class VolumeShade(NamedTuple):
     scattered: jnp.ndarray  # [B] bool: a scattering event happened
     origin: V3  # next ray origin
@@ -138,10 +228,11 @@ def volume_shade(
     u: Sequence[jnp.ndarray],
     step: float,
     nearest: bool = False,
+    grid_t: jnp.ndarray | None = None,
 ) -> VolumeShade:
     """One probabilistic scattering decision at a volume event."""
     coord = (hit.position - hit.bbox_min) / hit.bbox_size
-    density = step * density_sample(scn, hit, coord, nearest=nearest)
+    density = step * density_sample(scn, hit, coord, nearest=nearest, grid_t=grid_t)
     scattered = u[0] < density  # covers density >= 1 too (``volume.rs:38``)
 
     # interior events jitter the origin up to one step backwards (``volume.rs:40-42``)

@@ -209,6 +209,7 @@ def trace_core(
     spp_total: int | None = None,
     sample0=0,
     active=None,
+    vol_grid_t=None,
 ) -> TraceSums:
     """Trace spp samples for every (pixel, subpixel) lane; return sums.
 
@@ -221,6 +222,10 @@ def trace_core(
     budget exhausted — they never trace, never count rays, and return
     zeros. Applied only to the carry *init* (an in-loop capture of a
     loop-invariant vector would trip Mosaic layout inference).
+
+    ``vol_grid_t`` (megakernel only): the density-grid stack as a traced
+    kernel operand, pre-transposed to [G, W, D·H] — dense grids too big
+    for the baked scalar unroll (see ops.volume._density_operand).
     """
     if cfg.regen_every not in (1, 2):
         raise ValueError(
@@ -495,8 +500,11 @@ def trace_core(
 
         if cfg.has_volumes:
             vol = alive & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
+            # (a lax.cond skipping the dense-grid lookup for blocks with no
+            # volume-event lanes was tried and reverted: Mosaic cannot
+            # legalize scf.if with vector results)
             vs = volume_shade(trace_dir, hit, scn, u, cfg.volume_step,
-                              nearest=cfg.vol_nearest)
+                              nearest=cfg.vol_nearest, grid_t=vol_grid_t)
             thr = V3.where(vol & vs.scattered, thr * vs.weight, thr)
             new_org = V3.where(vol, vs.origin, new_org)
             new_dir = V3.where(vol, vs.direction, new_dir)

@@ -146,6 +146,7 @@ def render_film_sharded(
 def make_pallas_pass_sharded(
     scn, mesh: Mesh, width: int, height: int, spp_local: int, subsample: int,
     cfg: TraceConfig, output: str, block_rows: int | None = None, interpret: bool = False,
+    vol_operand: bool = False,
 ):
     """Sharded render pass running the Pallas megakernel per device.
 
@@ -167,6 +168,7 @@ def make_pallas_pass_sharded(
     tracer = make_pallas_tracer(
         scn, width, height, spp_local, subsample, cfg,
         spp_total=spp_total, block_rows=block_rows, interpret=interpret,
+        vol_operand=vol_operand,
     )
 
     def shard_body(cam_packed, seed, pass_idx):

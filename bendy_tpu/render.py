@@ -384,18 +384,29 @@ class Renderer:
         )
         return Status.IN_PROGRESS
 
+    def vol_operand(self) -> bool:
+        """Dense-grid megakernel policy: grid as a kernel operand?
+
+        The kernel has two trilinear-lookup strategies (ops/volume.py):
+        the baked scalar unroll costs ~3 VPU ops per NONZERO cell per
+        iteration, the MXU operand contraction ~10ns·D·H per iteration
+        regardless of sparsity (both measured on v5e). The unroll also
+        bloats compile time with the cell count, so it is capped at 4096
+        cells outright. Bundled sparse scenes (volume 240, cloud 523,
+        blackhole_cloud 712 nnz) keep the cheaper unroll; dense or large
+        grids now stay in the megakernel instead of falling back to the
+        launch-bound XLA path (the old >1024-nnz bail-out).
+        """
+        if not self.has_volumes:
+            return False
+        grid = self.arrays.host_copy().vol_grid
+        _, D, H, _ = grid.shape
+        nnz = int((grid != 0).sum())
+        return nnz > min(4096, 10 * D * H)
+
     def _pallas_render_pass(self, W, H, rows, spp, n, tcfg, cfg):
         """Cached megakernel pass entry {fn, validated}; None if Mosaic
         rejects this config (falls back to the XLA path for the config)."""
-        if tcfg.has_volumes:
-            # In-kernel density lookup unrolls the trilinear contraction to
-            # scalar grid constants (Pallas can't capture array constants);
-            # cost scales with nonzero cells, so big grids stay on the XLA
-            # path where the lookup runs as MXU contractions.
-
-            grid = self.arrays.host_copy().vol_grid
-            if int((grid != 0).sum()) > 1024:
-                return None
         key = (W, H, rows, spp, n, tcfg, cfg.output.value)
         if key not in self._pallas_cache:
             try:
@@ -403,7 +414,8 @@ class Renderer:
 
                 self._pallas_cache[key] = {
                     "fn": make_pallas_render_pass(
-                        self.arrays, W, H, rows, spp, n, tcfg, cfg.output.value
+                        self.arrays, W, H, rows, spp, n, tcfg, cfg.output.value,
+                        vol_operand=self.vol_operand(),
                     ),
                     "validated": False,
                 }

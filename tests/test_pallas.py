@@ -89,7 +89,11 @@ def test_megakernel_volume_scene_scalar_unroll():
         r.arrays, W, H, spp, 1, cfg, block_rows=_block_rows(W, H), interpret=True
     )
     pal = kern(pack_camera(cam), jnp.uint32(11), jnp.uint32(0), pix, sub)
-    # the scatter decision is a Bernoulli against the density — the two
+    _volume_parity(pal, xla)
+
+
+def _volume_parity(pal, xla):
+    # the scatter decision is a Bernoulli against the density — different
     # trilinear implementations round differently, so a knife-edge lane
     # can flip its whole path. Allow isolated flips; everything else tight.
     for ch in ("x", "y", "z"):
@@ -98,6 +102,61 @@ def test_megakernel_volume_scene_scalar_unroll():
         off = np.abs(a - b) > (5e-4 * np.abs(b) + 1e-5)
         assert off.mean() <= 1 / 128, f"{ch}: {off.sum()} lanes diverged"
         assert abs(a.mean() - b.mean()) < 5e-3
+
+
+def test_megakernel_volume_grid_operand():
+    """Grid-as-kernel-operand MXU path (vol_operand=True) == XLA einsum.
+
+    Forced on the sparse cloud scene so the same workload covers both
+    kernel strategies (the scalar-unroll test above uses the default)."""
+    W = H = 16
+    spp = 2
+    r, cam, cfg = _setup("cloud", Config(max_bounces=3), W, H)
+    assert cfg.has_volumes
+    pix, sub = _lanes(W, H)
+    key = render_key(jnp.uint32(13), jnp.uint32(0))
+
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(
+        r.arrays, W, H, spp, 1, cfg, block_rows=_block_rows(W, H),
+        interpret=True, vol_operand=True,
+    )
+    pal = kern(pack_camera(cam), jnp.uint32(13), jnp.uint32(0), pix, sub)
+    _volume_parity(pal, xla)
+
+
+def test_megakernel_dense_grid():
+    """Dense 32³ grid (all cells nonzero): the renderer must pick the
+    operand path (no more XLA bail-out) and the kernel must match XLA."""
+    from bendy_tpu.models.dense_cloud import build_dense_cloud
+
+    W = H = 16
+    spp = 2
+    scene = build_dense_cloud()
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(max_bounces=3), use_pallas=False)
+    assert r.vol_operand(), "dense grid must select the operand path"
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)
+
+    pix, sub = _lanes(W, H)
+    key = render_key(jnp.uint32(17), jnp.uint32(0))
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(
+        r.arrays, W, H, spp, 1, cfg, block_rows=_block_rows(W, H),
+        interpret=True, vol_operand=True,
+    )
+    pal = kern(pack_camera(cam), jnp.uint32(17), jnp.uint32(0), pix, sub)
+    _volume_parity(pal, xla)
+    assert float(pal.rays) == pytest.approx(float(xla.rays))
+
+
+def test_vol_operand_policy():
+    """Bundled sparse scenes keep the scalar unroll; dense grids don't."""
+    for name in ("volume", "cloud"):
+        scene = load_scene(f"scenes/{name}.json.gz")
+        assert not Renderer(scene, use_pallas=False).vol_operand()
 
 
 def test_megakernel_geodesic_scene():
