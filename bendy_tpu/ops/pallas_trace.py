@@ -164,10 +164,13 @@ def make_pallas_tracer(
         ]
         for ref, v in zip(outs[:N_OUT], vals):
             ref[:] = v
-        # per-block traced-ray count in element [0,0] of an (8,128) tile
+        # per-block stats in row 0 of an (8,128) tile: [0,0] traced-ray
+        # count, [0,1] loop iterations (feeds tools/perf_report.py)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
-        outs[N_OUT][:] = jnp.where((row_ids == 0) & (lane_ids == 0), res.rays, 0.0)
+        outs[N_OUT][:] = jnp.where(
+            (row_ids == 0) & (lane_ids == 0), res.rays, 0.0
+        ) + jnp.where((row_ids == 0) & (lane_ids == 1), res.iters, 0.0)
 
     lane_spec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     small = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -210,7 +213,8 @@ def make_pallas_tracer(
             aov_albedo=V3(flat[3], flat[4], flat[5]),
             aov_normal=V3(flat[6], flat[7], flat[8]),
             aov_depth=flat[9],
-            rays=jnp.sum(outs[N_OUT]),
+            rays=jnp.sum(outs[N_OUT][:, 0]),
+            iters=jnp.sum(outs[N_OUT][:, 1]),  # Σ over blocks
         )
 
     return run

@@ -140,6 +140,11 @@ class TraceSums(NamedTuple):
     rays: jnp.ndarray  # [] f32: total alive-lane iterations (traced rays)
     # (inside the loop this is a [B] per-lane counter — one masked add per
     #  iteration instead of a cross-lane reduction; summed once at the end)
+    iters: jnp.ndarray = None  # [] f32: loop iterations executed (per block
+    #   in the megakernel, whole batch under XLA). The VPU issues work for
+    #   EVERY lane every iteration, so iters × lanes is the issued-slot
+    #   count tools/perf_report.py turns into a utilization figure;
+    #   rays/(iters·lanes) is the live-lane occupancy.
 
 
 class _State(NamedTuple):
@@ -602,6 +607,7 @@ def trace_core(
             aov_normal=radiance,
             aov_depth=radiance.x,
             rays=rays_total,
+            iters=final.it.astype(jnp.int32).astype(jnp.float32),
         )
     dep_n = jnp.clip(
         (final.aov_dep - cfg.clip_min) / (cfg.clip_max - cfg.clip_min), 0.0, 1.0
@@ -612,6 +618,7 @@ def trace_core(
         aov_normal=final.acc_nrm + V3.where(fin, final.aov_nrm, zv),
         aov_depth=final.acc_dep + jnp.where(fin, dep_n, 0.0),
         rays=rays_total,
+        iters=final.it.astype(jnp.int32).astype(jnp.float32),
     )
 
 

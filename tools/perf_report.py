@@ -1,0 +1,283 @@
+"""Reproducible VPU-utilization report for the megakernel hot loop.
+
+Converts the round-2 "~60-70% of VPU peak" claim into a one-command
+artifact:
+
+  ops/iteration  — a jaxpr walk of the EXACT loop body the kernel runs
+                   (trace_core with the production TraceConfig on
+                   (rows,128) lanes), counting per-element vector ops;
+  iterations/s   — measured on the real chip via the kernel's per-block
+                   iteration counters (TraceSums.iters; the VPU issues
+                   every lane every iteration, so issued lane-slots =
+                   Σ_blocks iters_b × lanes_per_block);
+  utilization    — sustained ops/s vs the v5e VPU peak, reported as a
+                   RANGE. The v5e VPU issues 8 sublanes × 128 lanes ×
+                   4 ALUs × 0.94 GHz = 3.85e12 slots/s, and each slot
+                   can retire a fused multiply-add (= 2 jaxpr ops). A
+                   jaxpr op count can't see which mul+add pairs Mosaic
+                   fuses, so the true utilization lies between
+                   ops/(2×3.85e12) (everything fused) and ops/3.85e12
+                   (nothing fused). Sustained ops/s ABOVE 3.85e12
+                   (cloud, blackhole) is direct evidence the compiler
+                   is FMA-fusing — the kernel genuinely retires more
+                   jaxpr-ops/s than the scalar issue rate.
+
+Op-count conventions (documented so the figure is comparable across
+rounds): every elementwise arith/compare/bitwise/select/convert op
+counts 1 per output element; transcendentals (sin/exp/log/...) count 1
+(dedicated hw, multi-cycle); broadcast/reshape/transpose/iota count 0
+(layout); reductions count 1 per INPUT element; dot_general counts
+2·M·K·N as MXU FLOPs, reported separately.
+
+Run:  python3 tools/perf_report.py [--scene cornell] [--write]
+      (--write refreshes PERF.md)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VPU_ISSUE_PEAK = 8 * 128 * 4 * 0.94e9  # v5e: (8,128) vregs x 4 ALUs x 0.94 GHz
+VPU_FMA_PEAK = 2 * VPU_ISSUE_PEAK  # each ALU slot retires a mul+add pair
+ZERO_COST = {
+    "broadcast_in_dim", "reshape", "transpose", "squeeze", "iota",
+    "copy", "stop_gradient", "slice", "concatenate", "pad",
+}
+REDUCES = {"reduce_sum", "reduce_max", "reduce_min", "reduce_and", "reduce_or",
+           "argmax", "argmin", "reduce_prod"}
+
+
+def _size(aval) -> int:
+    return int(math.prod(aval.shape)) if aval.shape else 1
+
+
+def count_ops(jaxpr) -> dict:
+    """{'vpu': per-element vector op count, 'mxu': dot FLOPs} for one
+    execution of the jaxpr, recursing through pjit/call/scan/while/cond
+    (loops multiply by trip count)."""
+    vpu = 0.0
+    mxu = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in ("jit", "pjit", "closed_call", "core_call", "custom_jvp_call",
+                    "custom_vjp_call", "remat", "checkpoint"):
+            sub = eqn.params.get("jaxpr")
+            inner = count_ops(sub.jaxpr if hasattr(sub, "jaxpr") else sub)
+            vpu += inner["vpu"]
+            mxu += inner["mxu"]
+        elif name == "scan":
+            sub = eqn.params["jaxpr"]
+            inner = count_ops(sub.jaxpr if hasattr(sub, "jaxpr") else sub)
+            n = eqn.params["length"]
+            vpu += n * inner["vpu"]
+            mxu += n * inner["mxu"]
+        elif name == "while":
+            # trip count unknown statically; caller handles the top while
+            raise ValueError("nested while encountered; count bodies explicitly")
+        elif name == "cond":
+            branches = eqn.params["branches"]
+            inner = [count_ops(b.jaxpr if hasattr(b, "jaxpr") else b)
+                     for b in branches]
+            vpu += max(i["vpu"] for i in inner)
+            mxu += max(i["mxu"] for i in inner)
+        elif name == "dot_general":
+            a, b = eqn.invars[0].aval, eqn.invars[1].aval
+            ((lc, rc), _) = eqn.params["dimension_numbers"]
+            k = math.prod(a.shape[d] for d in lc)
+            m = _size(a) // max(k, 1)
+            n = _size(b) // max(k, 1)
+            mxu += 2.0 * m * n * k
+        elif name in ZERO_COST:
+            pass
+        elif name in REDUCES:
+            vpu += _size(eqn.invars[0].aval)
+        else:
+            vpu += sum(_size(v.aval) for v in eqn.outvars)
+    return {"vpu": vpu, "mxu": mxu}
+
+
+def loop_body_ops(scene_name: str, width=256, height=256, spp=64, subsample=2,
+                  block_rows=None):
+    """Per-INNER-iteration op counts of the production kernel loop body."""
+    import jax
+    import jax.numpy as jnp
+
+    from bendy_tpu.ops.pallas_trace import rows_for
+    from bendy_tpu.ops.wavefront import trace_core
+    from bendy_tpu.render import Config, Renderer
+    from bendy_tpu.scene import load_scene
+
+    scene = load_scene(f"scenes/{scene_name}.json.gz")
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = width / height
+    r = Renderer(scene, Config(), use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config, cam_ref)
+    if block_rows is None:
+        block_rows = rows_for(cfg)
+    R, L = block_rows, 128
+    pix = jnp.zeros((R, L), jnp.uint32)
+    sub = jnp.zeros((R, L), jnp.uint32)
+    scn = r.arrays.host_copy()
+    key = (jnp.uint32(1), jnp.uint32(2))
+
+    grid_t = None
+    if cfg.has_volumes and r.vol_operand():
+        import numpy as np
+
+        vol = np.asarray(scn.vol_grid)
+        G, D, H, W = vol.shape
+        grid_t = jnp.asarray(vol.reshape(G, D * H, W).transpose(0, 2, 1))
+
+    jx = jax.make_jaxpr(
+        lambda p, s: trace_core(scn, cam, key, p, s, width, height, spp,
+                                subsample, cfg, vol_grid_t=grid_t)
+    )(pix, sub)
+    whiles = [e for e in jx.jaxpr.eqns if e.primitive.name == "while"]
+    assert len(whiles) == 1, "expected exactly one top-level while"
+    body = whiles[0].params["body_jaxpr"].jaxpr
+    scans = [e for e in body.eqns if e.primitive.name == "scan"]
+    assert len(scans) == 1, "expected the pending_check fori as one scan"
+    step = count_ops(scans[0].params["jaxpr"].jaxpr)
+    # the non-scan remainder of the while body is the n_pending reduction:
+    # count it directly
+    rest = {"vpu": 0.0, "mxu": 0.0}
+    for eqn in body.eqns:
+        if eqn.primitive.name == "scan":
+            continue
+        name = eqn.primitive.name
+        if name in ZERO_COST:
+            continue
+        if name in REDUCES:
+            rest["vpu"] += _size(eqn.invars[0].aval)
+        else:
+            rest["vpu"] += sum(_size(v.aval) for v in eqn.outvars)
+    scan_len = scans[0].params["length"]
+    iters_per_step = cfg.regen_every  # fori step = regen_every inner iterations
+    inner_per_outer = scan_len * iters_per_step
+    vpu = (scan_len * step["vpu"] + rest["vpu"]) / inner_per_outer
+    mxu = scan_len * step["mxu"] / inner_per_outer
+    lanes = R * L
+    return {
+        "scene": scene_name,
+        "block_rows": R,
+        "vpu_ops_per_iter": vpu,
+        "vpu_ops_per_lane_iter": vpu / lanes,
+        "mxu_flops_per_iter": mxu,
+        "cfg": cfg,
+        "renderer": r,
+        "cam": cam,
+        "width": width, "height": height, "spp": spp, "subsample": subsample,
+    }
+
+
+def measure_iters_per_sec(info, repeats=5, chain=4):
+    """Run the real megakernel; return block-iterations/s and rays/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer
+
+    r = info["renderer"]
+    W, H, spp, n = info["width"], info["height"], info["spp"], info["subsample"]
+    nn = n * n
+    cfg = info["cfg"]
+    vol_operand = r.vol_operand()
+    kern = make_pallas_tracer(r.arrays, W, H, spp, n, cfg,
+                              block_rows=info["block_rows"],
+                              vol_operand=vol_operand)
+    B = W * H * nn
+    local = jnp.arange(B, dtype=jnp.uint32)
+    pix = local // jnp.uint32(nn)
+    sub = local % jnp.uint32(nn)
+    base = int.from_bytes(os.urandom(4), "little")
+    out = kern(r._cam_packed, jnp.uint32(base), jnp.uint32(0), pix, sub)
+    jax.block_until_ready(out.radiance.x)  # compile
+    rates = []
+    for i in range(repeats):
+        acc = None
+        stats = []
+        t0 = time.time()
+        for p in range(chain):
+            o = kern(r._cam_packed, jnp.uint32(base + 1 + chain * i + p),
+                     jnp.uint32(p), pix, sub)
+            acc = o.radiance.x if acc is None else acc + o.radiance.x
+            stats.append((o.iters, o.rays))
+        jax.block_until_ready(acc)
+        dt = time.time() - t0
+        vals = jax.device_get(stats)
+        iters = float(np.sum([v[0] for v in vals]))
+        rays = float(np.sum([v[1] for v in vals]))
+        rates.append((iters / dt, rays / dt))
+    rates.sort()
+    it_s, rays_s = rates[len(rates) // 2]
+    return it_s, rays_s
+
+
+def report(scene_name="cornell") -> dict:
+    info = loop_body_ops(scene_name)
+    it_s, rays_s = measure_iters_per_sec(info)
+    lanes = info["block_rows"] * 128
+    sustained = it_s * info["vpu_ops_per_iter"]
+    return {
+        "scene": scene_name,
+        "block_rows": info["block_rows"],
+        "vpu_ops_per_lane_iter": round(info["vpu_ops_per_lane_iter"], 1),
+        "mxu_flops_per_iter": round(info["mxu_flops_per_iter"], 1),
+        "block_iters_per_sec": round(it_s, 0),
+        "mrays_per_sec": round(rays_s / 1e6, 1),
+        "live_lane_occupancy": round(rays_s / (it_s * lanes), 3),
+        "sustained_vpu_ops_per_sec": f"{sustained:.3e}",
+        "vpu_issue_peak_ops_per_sec": f"{VPU_ISSUE_PEAK:.3e}",
+        # true utilization is inside [lo, hi]: lo assumes every op pairs
+        # into an FMA slot, hi assumes none do (see module docstring)
+        "vpu_utilization_lo": round(sustained / VPU_FMA_PEAK, 3),
+        "vpu_utilization_hi": round(min(sustained / VPU_ISSUE_PEAK, 1.0), 3),
+    }
+
+
+def main() -> None:
+    scenes = [a for a in sys.argv[1:] if not a.startswith("--")] or ["cornell"]
+    rows = [report(s) for s in scenes]
+    for row in rows:
+        print(row)
+    if "--write" in sys.argv:
+        lines = [
+            "# PERF — measured VPU utilization (regenerate: "
+            "`python3 tools/perf_report.py cornell cloud blackhole --write`)",
+            "",
+            "Method: tools/perf_report.py — jaxpr op count of the exact loop",
+            "body × measured kernel iteration rate (per-block counters in the",
+            "stats tile) vs the v5e VPU peak (8×128 lanes × 4 ALUs × 0.94 GHz",
+            "= 3.85e12 issue slots/s, each able to retire an FMA = 2 ops).",
+            "A jaxpr count can't see which mul+add pairs Mosaic fuses, so",
+            "utilization is a RANGE: ops/(2×peak) .. ops/peak. Sustained",
+            "ops/s above the issue peak (cloud, blackhole) proves the",
+            "compiler is FMA-fusing. Conventions in the tool docstring.",
+            "",
+            "| scene | ops/lane/iter | occupancy | Mrays/s | sustained ops/s | VPU util |",
+            "|---|---|---|---|---|---|",
+        ]
+        for row in rows:
+            lines.append(
+                f"| {row['scene']} | {row['vpu_ops_per_lane_iter']} | "
+                f"{row['live_lane_occupancy']} | {row['mrays_per_sec']} | "
+                f"{row['sustained_vpu_ops_per_sec']} | "
+                f"**{row['vpu_utilization_lo']:.0%}–"
+                f"{row['vpu_utilization_hi']:.0%}** |"
+            )
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "PERF.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print("wrote PERF.md")
+
+
+if __name__ == "__main__":
+    main()
