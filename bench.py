@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -70,6 +71,69 @@ def timed_render(scene, width, height, samples, subsample, config=Config(),
         "seconds_best": min(secs),
         "seconds_median": statistics.median(secs),
     }
+
+
+def sharded_megakernel_row(width=256, height=256, spp=64, subsample=2):
+    """Run make_pallas_pass_sharded on a (1,1) mesh on the real chip.
+
+    Returns {"ok", "mrays", "max_err_units"}: whether the SPMD Mosaic
+    kernel compiled+ran, its 4-call-chained median rate, and the worst
+    deviation from the XLA sharded pass in units of (5e-4 rel + 1e-5).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from bendy_tpu.parallel.mesh import (
+        make_mesh, make_pallas_pass_sharded, render_pass_sharded,
+    )
+    from bendy_tpu.render import Config, Renderer
+    from bendy_tpu.scene import load_scene
+
+    scene = load_scene("scenes/cornell.json.gz")
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = width / height
+    r = Renderer(scene, Config(), use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)
+    mesh = make_mesh(1, 1)
+    try:
+        fn = make_pallas_pass_sharded(
+            r.arrays, mesh, width, height, spp, subsample, cfg, "full"
+        )
+        base = int.from_bytes(os.urandom(4), "little")
+        sums, rays = fn(r._cam_packed, jnp.uint32(base), jnp.uint32(0))
+        jax.block_until_ready(sums)  # compile + Mosaic validation
+        xs, xr = render_pass_sharded(
+            r.arrays, cam, jnp.uint32(base), jnp.uint32(0), mesh,
+            width, height, spp, subsample, cfg, "full",
+        )
+        err = np.abs(np.asarray(sums) - np.asarray(xs)) / (
+            np.abs(np.asarray(xs)) * 5e-4 + 1e-5
+        )
+        mrays = []
+        for i in range(3):
+            total, ray_parts = None, []
+            t0 = time.time()
+            for p in range(4):  # device-chained fresh-seed passes
+                s, ry = fn(r._cam_packed, jnp.uint32(base + 1 + 4 * i + p),
+                           jnp.uint32(p))
+                total = s if total is None else total + s
+                ray_parts.append(ry)
+            jax.block_until_ready(total)
+            dt = time.time() - t0
+            mrays.append(float(np.sum(jax.device_get(ray_parts))) / dt / 1e6)
+        return {
+            "ok": True,
+            "mrays": round(statistics.median(mrays), 2),
+            "max_err_units": round(float(err.max()), 3),
+            # ray totals exceed f32's exact-integer range at this workload
+            # (~117M): per-block vs whole-batch summation round differently
+            "rays_rel_err": float(abs(float(rays) - float(xr))
+                                  / max(float(xr), 1.0)),
+        }
+    except Exception as e:  # pragma: no cover - device-dependent
+        return {"ok": False, "error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def main() -> None:
@@ -145,6 +209,33 @@ def main() -> None:
         results["blackhole_cloud"] = row(rr)
         print(f"blackhole_cloud: {rr['median']:.1f} Mrays/s median "
               f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
+        # sharded megakernel on a (1,1) mesh: proves the SPMD Mosaic
+        # kernel (shard_map + pallas_call) compiles and runs on real TPU
+        # hardware, not just in interpret mode. Multi-chip runs use the
+        # exact same program over a bigger mesh.
+        results["pallas_sharded_1x1"] = sharded_megakernel_row()
+        print(f"pallas_sharded_1x1: {results['pallas_sharded_1x1']}",
+              file=sys.stderr)
+        # reproducible VPU-utilization figure (see PERF.md / tools/perf_report.py)
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            from perf_report import report as perf_report
+
+            pr = perf_report("cornell")
+            results["vpu_utilization_cornell"] = {
+                k: pr[k] for k in (
+                    "vpu_ops_per_lane_iter", "live_lane_occupancy",
+                    "sustained_vpu_ops_per_sec",
+                    "vpu_utilization_lo", "vpu_utilization_hi",
+                )
+            }
+            print(f"cornell VPU utilization: {pr['vpu_utilization_lo']:.0%}-"
+                  f"{pr['vpu_utilization_hi']:.0%} "
+                  f"(sustained {pr['sustained_vpu_ops_per_sec']} ops/s)",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover - keep the bench robust
+            results["vpu_utilization_cornell"] = {"error": str(e)[:200]}
         # the north star measured for real (median of 3: ~6 s/pass)
         rr = timed_render(
             load_scene("scenes/blackhole.json.gz"), 1920, 1080, 256, 1,
