@@ -1,0 +1,117 @@
+"""Primitive-count scaling scenes: an n-primitive field of spheres/boxes.
+
+The reference's linear object scan (``src/tracer/mod.rs:389-402``)
+handles any primitive count with zero compile cost; our statically
+unrolled SoA sweep (ops/intersect.py) trades compile time and code size
+for per-iteration speed. These generated scenes characterize that trade
+(tools/prim_scaling.py, docs/prim_scaling.json) and gate correctness at
+64+ primitives against the C++ oracle (tests/test_render.py).
+
+Layout: alternating spheres and rotated cuboids on a ground rect, one
+overhead rect light, deterministic placement/material mix from a seeded
+RNG. ``build_prim_grid(n)`` yields n field primitives + ground + light
++ camera.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+from bendy_tpu.scene.graph import (
+    Camera,
+    Cuboid,
+    Data,
+    Material,
+    Object,
+    ObjectFlags,
+    Rect,
+    Scene,
+    Sphere,
+    affine_from_rotation_translation,
+    quat_from_euler_yxz,
+)
+
+
+def build_prim_grid(n: int, seed: int = 7) -> Scene:
+    """A scene with ``n`` field primitives (spheres/cuboids alternating).
+
+    Tracer sweep size: ~n/2 spheres + ~n/2 three-slab boxes + 2 rects
+    (ground + light).
+    """
+    rng = random.Random(seed)
+    scene = Scene()
+
+    env = scene.add_data(Data(Material.emissive((0.6, 0.7, 0.9), 0.12)))
+    scene.set_root_material(env)
+
+    side = max(1, math.ceil(math.sqrt(n)))
+    pitch = 2.2
+    extent = side * pitch / 2.0
+
+    # camera looks down at the field from the +z side
+    cam_pos = [0.0, extent * 0.9 + 2.0, extent * 2.2 + 4.0]
+    scene.add_object(
+        Object(Camera(focal_length=0.05, sensor_size=0.024, focus=None))
+        .with_tag("camera")
+        .with_transform(
+            affine_from_rotation_translation(
+                quat_from_euler_yxz(0.0, -0.35, 0.0), cam_pos
+            )
+        )
+    )
+
+    ground = scene.add_data(Data(Material.diffuse((0.55, 0.55, 0.58), 0.8)))
+    scene.add_object(
+        Object(Rect.from_edges(ground, [extent * 4, 0, 0], [0, 0, -extent * 4]))
+        .with_translation([0.0, 0.0, 0.0])
+    )
+
+    light = scene.add_data(Data(Material.emissive((1.0, 0.95, 0.85), 14.0)))
+    scene.add_object(
+        Object(Rect.from_edges(light, [extent, 0, 0], [0, 0, -extent]))
+        .with_translation([0.0, extent * 1.6 + 3.0, 0.0])
+        .with_flags(ObjectFlags.LIGHT)
+    )
+
+    mats = [
+        scene.add_data(Data(Material.diffuse((0.75, 0.35, 0.3), 0.7))),
+        scene.add_data(Data(Material.diffuse((0.3, 0.6, 0.75), 0.7))),
+        scene.add_data(Data(Material.metallic((0.85, 0.8, 0.7), 0.05))),
+        scene.add_data(Data(Material.glass((0.95, 0.97, 0.99), 0.0, 1.45))),
+    ]
+
+    count = 0
+    for gz in range(side):
+        for gx in range(side):
+            if count >= n:
+                break
+            x = (gx + 0.5) * pitch - extent + rng.uniform(-0.3, 0.3)
+            z = (gz + 0.5) * pitch - extent + rng.uniform(-0.3, 0.3)
+            mat = mats[rng.randrange(len(mats))]
+            if (gx + gz) % 2 == 0:
+                r = rng.uniform(0.35, 0.8)
+                scene.add_object(
+                    Object(Sphere(material=mat, radius=r)).with_translation(
+                        [x, r, z]
+                    )
+                )
+            else:
+                h = rng.uniform(0.5, 1.4)
+                w = rng.uniform(0.3, 0.6)
+                scene.add_object(
+                    Object(
+                        Cuboid.from_axes(
+                            mat, [w, 0, 0], [0, h / 2, 0], [0, 0, w]
+                        )
+                    ).with_transform(
+                        affine_from_rotation_translation(
+                            quat_from_euler_yxz(rng.uniform(0.0, 1.5), 0.0, 0.0),
+                            [x, h / 2, z],
+                        )
+                    )
+                )
+            count += 1
+    return scene

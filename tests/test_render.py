@@ -176,6 +176,49 @@ def test_dense_grid_matches_native_oracle():
     assert np.abs(blk(ours) - blk(ref)).max() < 0.08
 
 
+def test_prim_grid_64_matches_native_oracle():
+    """64-primitive generated scene (32 spheres + 32 boxes, all four
+    material kinds): the statically-unrolled sweep must stay correct well
+    beyond the bundled scenes' ~14 primitives. Ground truth: C++ oracle
+    (linear scan, like the reference's ``tracer/mod.rs:389-402``).
+
+    Cost note: this is the slowest compile in the suite (the 66-primitive
+    unrolled body takes ~10-20 min in XLA's CPU backend; ~12 s on TPU —
+    docs/prim_scaling.json). spp is set high enough that the glass/metal
+    variance sits well inside the gates (at 256/512 spp the row-mean diff
+    converges to 0.032, corr 0.988)."""
+    from bendy_tpu.models.prim_grid import build_prim_grid
+    from bendy_tpu.native import available, oracle_render_scene
+
+    if not available():
+        pytest.skip("native oracle not built")
+
+    scene = build_prim_grid(64)
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+
+    W = H = 24
+    spp = 128
+    r = Renderer(scene, Config(max_bounces=3))
+    from bendy_tpu.ops.wavefront import trace
+
+    cfg = r.trace_config(r.config, cam_ref)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    sub = jnp.zeros(W * H, jnp.uint32)
+    res = trace(
+        r.arrays, r.camera_params(cam_ref), render_key(jnp.uint32(31), jnp.uint32(0)),
+        pix, sub, W, H, spp, 1, cfg,
+    )
+    ours = np.stack([np.asarray(c).reshape(H, W) for c in res.radiance], -1) / spp
+    ref = oracle_render_scene(scene, W, H, 256, seed=8, max_bounces=3)
+
+    assert np.abs((ours - ref).mean(axis=(1, 2))).max() < 0.08
+    assert np.abs((ours - ref).mean(axis=(0, 2))).max() < 0.08
+    assert abs(ours.mean() - ref.mean()) < 0.03
+    corr = np.corrcoef(ours.mean(-1).ravel(), ref.mean(-1).ravel())[0, 1]
+    assert corr > 0.97, corr
+
+
 def test_device_film_matches_host_film(cornell_nodof):
     """DeviceFilm (device-resident sums, lazy rays) == host Film."""
     from bendy_tpu.film import DeviceFilm, to_device
