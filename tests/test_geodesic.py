@@ -226,6 +226,47 @@ class TestImageOracle:
         assert abs(int(shadow_ours) - int(shadow_ref)) <= max(3, 0.2 * shadow_ref)
 
 
+    def test_binary_blackhole_matches_native_oracle(self):
+        """Multi-mass geodesic propagation (the superposed-acceleration
+        sweep over both holes) gates against the C++ oracle's independent
+        multi-mass RK4 (``native/oracle.cpp`` geo_accel)."""
+        from bendy_tpu.native import available, oracle_render_scene
+        from bendy_tpu.render import Config, Renderer
+        from bendy_tpu.scene import load_scene
+        from bendy_tpu.ops.wavefront import trace
+        from bendy_tpu.utils.rng import render_key
+
+        if not available():
+            pytest.skip("native oracle not built")
+
+        scene = load_scene("scenes/binary_blackhole.json.gz")
+        cam_ref = scene.find_by_tag("camera")
+        scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+
+        r = Renderer(scene, Config(max_bounces=2))
+        cfg = r.trace_config(r.config, cam_ref)
+        assert cfg.geodesic and r.arrays.n_masses == 2
+        W = H = 24
+        spp = 64
+        pix = jnp.arange(W * H, dtype=jnp.uint32)
+        sub = jnp.zeros(W * H, jnp.uint32)
+        res = trace(
+            r.arrays, r.camera_params(cam_ref),
+            render_key(jnp.uint32(6), jnp.uint32(0)),
+            pix, sub, W, H, spp, 1, cfg,
+        )
+        ours = np.stack(
+            [np.asarray(c).reshape(H, W) for c in res.radiance], -1
+        ) / spp
+        ref = oracle_render_scene(scene, W, H, 128, seed=3, max_bounces=2,
+                                  geo=cfg.geo)
+
+        d = np.abs((ours - ref).mean(axis=(1, 2)))
+        assert d.max() < 0.1, d
+        assert abs(ours.mean() - ref.mean()) < 0.03
+        corr = np.corrcoef(ours.mean(-1).ravel(), ref.mean(-1).ravel())[0, 1]
+        assert corr > 0.92, corr
+
     def test_native_and_numpy_geodesic_oracles_agree(self):
         """The C++ and numpy oracles implement geodesic propagation
         independently; their blackhole renders must coincide."""

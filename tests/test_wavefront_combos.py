@@ -168,8 +168,8 @@ def test_blackhole_cloud_matches_native_oracle():
     cam_ref = scene.find_by_tag("camera")
     scene.get_object(cam_ref).inner.aspect_ratio = 1.0
 
-    W = H = 16
-    spp = 48
+    W = H = 24
+    spp = 96
     r = Renderer(scene, Config(max_bounces=2, volume_step=0.6))
     cfg = r.trace_config(r.config, cam_ref)
     assert cfg.geodesic and cfg.has_volumes
@@ -182,14 +182,15 @@ def test_blackhole_cloud_matches_native_oracle():
     ours = np.stack([np.asarray(c).reshape(H, W) for c in res.radiance], -1) / spp
 
     ref = oracle_render_scene(
-        scene, W, H, 64, seed=9, max_bounces=2, volume_step=0.6,
+        scene, W, H, 128, seed=9, max_bounces=2, volume_step=0.6,
         geo=r.trace_config(r.config, cam_ref).geo,
     )
 
     # statistical gates (different RNG streams): systematic estimator or
-    # capture-rule differences shift whole regions
-    d = np.abs((ours - ref).mean(axis=(1, 2)))
-    assert d.max() < 0.2, d
-    assert abs(ours.mean() - ref.mean()) < 0.05
+    # capture-rule differences shift whole regions. Same class of
+    # thresholds as the cornell/prim-grid oracle gates.
+    assert np.abs((ours - ref).mean(axis=(1, 2))).max() < 0.08
+    assert np.abs((ours - ref).mean(axis=(0, 2))).max() < 0.08
+    assert abs(ours.mean() - ref.mean()) < 0.03
     corr = np.corrcoef(ours.mean(-1).ravel(), ref.mean(-1).ravel())[0, 1]
-    assert corr > 0.9, corr
+    assert corr > 0.95, corr
