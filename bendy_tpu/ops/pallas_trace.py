@@ -220,6 +220,57 @@ def make_pallas_tracer(
     return run
 
 
+def tile_perm(width: int, rows: int, nn: int, lanes_per_block: int):
+    """Tile-major pixel ordering for block-coherent early exit.
+
+    Each kernel block runs until its *slowest* lane finishes, so block
+    throughput is set by the within-block spread of path lengths. In
+    row-major order a block spans a full-width image strip (at 1080p,
+    half a row) — mixing e.g. sky lanes with dark-corner lanes. This
+    permutation assigns each block a square-ish image tile instead;
+    expected path length varies smoothly in image space, so tiles are far
+    more homogeneous than strips (measured occupancy: see PERF.md).
+
+    Bit-identity: the RNG stream id is a pure function of the (pixel,
+    sample, subpixel) VALUES (``wavefront.sample_id``), so any lane
+    ordering renders the exact same image once outputs are restored to
+    row-major; per-pixel subpixel sums add the same floats in the same
+    order.
+
+    The permutation is deliberately reshape/transpose-expressible — a
+    per-lane gather to undo it measured 25% of the whole cornell pass on
+    the axon link, wiping out the occupancy win. ``tile_w`` divides
+    ``width`` exactly and full tile-rows come first, so the inverse on
+    per-pixel sums is two reshapes + one transpose (see
+    ``make_pallas_render_pass``); trailing rows not filling a tile-row
+    stay row-major at the end.
+
+    Returns ``(perm, (tile_w, tile_h, rows_full))`` over the chunk's
+    ``rows*width`` pixels — numpy int64 — or ``(None, None)`` when tiling
+    would not change the order (blocks already narrower than the image)
+    or ``width`` is not a multiple of the tile width.
+    """
+    import numpy as np
+
+    pix_per_block = lanes_per_block // max(nn, 1)
+    if pix_per_block <= 0:
+        return None, None
+    tile_w = 1 << max(0, int(round(np.log2(max(1.0, np.sqrt(pix_per_block))))))
+    tile_w = min(tile_w, width)
+    tile_h = max(1, pix_per_block // tile_w)
+    rows_full = (rows // tile_h) * tile_h
+    if tile_w >= width or tile_h <= 1 or rows_full == 0 or width % tile_w:
+        return None, None
+    idx = np.arange(rows_full * width).reshape(
+        rows_full // tile_h, tile_h, width // tile_w, tile_w
+    )
+    perm = np.concatenate(
+        [idx.transpose(0, 2, 1, 3).ravel(),
+         np.arange(rows_full * width, rows * width)]
+    )
+    return perm, (tile_w, tile_h, rows_full)
+
+
 def pack_aux(key: tuple, sample0=0, n_valid=0) -> jnp.ndarray:
     k0, k1 = key
     return jnp.stack(
@@ -245,21 +296,42 @@ def make_pallas_render_pass(
     block_rows: int | None = None,
     interpret: bool = False,
     vol_operand: bool = False,
+    tile: bool = True,
 ):
     """Megakernel equivalent of ``render.render_pass``: returns
-    ``fn(cam_packed, seed, pass_idx, y_offset) -> (sums [rows,W,3], rays)``."""
+    ``fn(cam_packed, seed, pass_idx, y_offset) -> (sums [rows,W,3], rays)``.
+
+    ``tile=True`` (default) feeds lanes to the kernel in tile-major order
+    (:func:`tile_perm`) — bit-identical output, higher block occupancy."""
+    import numpy as np
+
     n = max(subsample, 1)
     nn = n * n
     tracer = make_pallas_tracer(scn, width, height, spp, subsample, cfg,
                                 block_rows=block_rows, interpret=interpret,
                                 vol_operand=vol_operand)
+    eff_rows = block_rows if block_rows is not None else rows_for(cfg)
+    perm, tiling = (
+        tile_perm(width, rows, nn, eff_rows * LANE) if tile else (None, None)
+    )
+    if perm is not None:
+        # static lane tables: lane l -> pixel perm[l//nn], subpixel l%nn
+        pix_tiled = jnp.asarray(np.repeat(perm, nn).astype(np.uint32))
+        sub_tiled = jnp.asarray(
+            np.tile(np.arange(nn, dtype=np.uint32), rows * width)
+        )
+        tile_w, tile_h, rows_full = tiling
 
     @jax.jit
     def run(cam_packed, seed, pass_idx, y_offset):
         B = rows * width * nn
-        local = jnp.arange(B, dtype=jnp.uint32)
-        sub = local % jnp.uint32(nn)
-        pix = jnp.asarray(y_offset, jnp.uint32) * jnp.uint32(width) + local // jnp.uint32(nn)
+        if perm is None:
+            local = jnp.arange(B, dtype=jnp.uint32)
+            sub = local % jnp.uint32(nn)
+            pix = jnp.asarray(y_offset, jnp.uint32) * jnp.uint32(width) + local // jnp.uint32(nn)
+        else:
+            sub = sub_tiled
+            pix = jnp.asarray(y_offset, jnp.uint32) * jnp.uint32(width) + pix_tiled
         res = tracer(cam_packed, seed, pass_idx, pix, sub)
         if output == "full":
             ch = res.radiance
@@ -272,9 +344,27 @@ def make_pallas_render_pass(
             ch = V3(d, d, d)
         else:
             raise ValueError(f"unknown output {output!r}")
-        sums = jnp.stack(
-            [c.reshape(rows, width, nn).sum(axis=2) for c in (ch.x, ch.y, ch.z)], axis=-1
-        )
+        if perm is None:
+            sums = jnp.stack(
+                [c.reshape(rows, width, nn).sum(axis=2)
+                 for c in (ch.x, ch.y, ch.z)], axis=-1
+            )
+        else:
+            # per-pixel subpixel sums in tile order (nn lanes stay
+            # contiguous under the perm), then undo the tiling with pure
+            # reshapes + one transpose — NOT a gather (a per-lane gather
+            # here measured 25% of the whole pass)
+            def untile(c):
+                pp = c.reshape(rows * width, nn).sum(axis=1)
+                head = pp[: rows_full * width].reshape(
+                    rows_full // tile_h, width // tile_w, tile_h, tile_w
+                ).transpose(0, 2, 1, 3).reshape(rows_full, width)
+                if rows_full == rows:
+                    return head
+                tail = pp[rows_full * width:].reshape(rows - rows_full, width)
+                return jnp.concatenate([head, tail])
+
+            sums = jnp.stack([untile(c) for c in (ch.x, ch.y, ch.z)], axis=-1)
         return sums, res.rays
 
     return run

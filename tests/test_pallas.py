@@ -206,6 +206,35 @@ def test_megakernel_render_pass_aov_channels(output):
     )
 
 
+@pytest.mark.parametrize("H", [32, 24])  # 24: ragged trailing tile-row
+def test_megakernel_tile_order_bit_identical(H):
+    """Tile-major lane ordering (pallas_trace.tile_perm) is a pure
+    scheduling change: the RNG is keyed on (pixel, sample, subpixel)
+    VALUES, so the tiled pass must be BIT-identical to row-major."""
+    W = 32
+    spp = 2
+    r, cam, cfg = _setup("cornell", Config(max_bounces=2), W, H)
+
+    from bendy_tpu.ops.pallas_trace import tile_perm
+
+    perm, tiling = tile_perm(W, H, 1, 2 * 128)
+    assert perm is not None, "tiling must activate for this geometry"
+    assert np.array_equal(np.sort(perm), np.arange(W * H))
+    tile_w, tile_h, rows_full = tiling
+    assert W % tile_w == 0 and rows_full == (H // tile_h) * tile_h
+
+    fns = [
+        make_pallas_render_pass(
+            r.arrays, W, H, H, spp, 1, cfg, "full",
+            block_rows=2, interpret=True, tile=t,
+        )
+        for t in (False, True)
+    ]
+    outs = [f(pack_camera(cam), jnp.uint32(5), jnp.uint32(0), jnp.uint32(0)) for f in fns]
+    assert float(outs[0][1]) == float(outs[1][1])  # same traced-ray count
+    assert np.array_equal(np.asarray(outs[0][0]), np.asarray(outs[1][0]))
+
+
 @pytest.mark.parametrize("tiles,samples", [(4, 2), (8, 1)])
 def test_megakernel_sharded_matches_xla_sharded(tiles, samples):
     """Sharded megakernel pass on the 8-device mesh == XLA sharded pass."""
