@@ -271,6 +271,40 @@ def tile_perm(width: int, rows: int, nn: int, lanes_per_block: int):
     return perm, (tile_w, tile_h, rows_full)
 
 
+def lane_order(width: int, rows: int, nn: int, lanes_per_block: int):
+    """Static lane tables + inverse for tile-major ordering.
+
+    Returns ``(pix_tiled [rows·width·nn] u32, sub_tiled, untile)`` where
+    ``untile(c)`` reduces a [rows·width·nn] per-lane channel to row-major
+    [rows, width] per-pixel sums via reshapes + one transpose; or ``None``
+    when :func:`tile_perm` declines the geometry.
+    """
+    import numpy as np
+
+    perm, tiling = tile_perm(width, rows, nn, lanes_per_block)
+    if perm is None:
+        return None
+    pix_tiled = jnp.asarray(np.repeat(perm, nn).astype(np.uint32))
+    sub_tiled = jnp.asarray(np.tile(np.arange(nn, dtype=np.uint32), rows * width))
+    tile_w, tile_h, rows_full = tiling
+
+    def untile(c):
+        # per-pixel subpixel sums in tile order (nn lanes stay contiguous
+        # under the perm), then undo the tiling with pure reshapes + one
+        # transpose — NOT a gather (a per-lane gather here measured 25%
+        # of a whole cornell pass)
+        pp = c.reshape(rows * width, nn).sum(axis=1)
+        head = pp[: rows_full * width].reshape(
+            rows_full // tile_h, width // tile_w, tile_h, tile_w
+        ).transpose(0, 2, 1, 3).reshape(rows_full, width)
+        if rows_full == rows:
+            return head
+        tail = pp[rows_full * width:].reshape(rows - rows_full, width)
+        return jnp.concatenate([head, tail])
+
+    return pix_tiled, sub_tiled, untile
+
+
 def pack_aux(key: tuple, sample0=0, n_valid=0) -> jnp.ndarray:
     k0, k1 = key
     return jnp.stack(
@@ -303,29 +337,20 @@ def make_pallas_render_pass(
 
     ``tile=True`` (default) feeds lanes to the kernel in tile-major order
     (:func:`tile_perm`) — bit-identical output, higher block occupancy."""
-    import numpy as np
-
     n = max(subsample, 1)
     nn = n * n
     tracer = make_pallas_tracer(scn, width, height, spp, subsample, cfg,
                                 block_rows=block_rows, interpret=interpret,
                                 vol_operand=vol_operand)
     eff_rows = block_rows if block_rows is not None else rows_for(cfg)
-    perm, tiling = (
-        tile_perm(width, rows, nn, eff_rows * LANE) if tile else (None, None)
-    )
-    if perm is not None:
-        # static lane tables: lane l -> pixel perm[l//nn], subpixel l%nn
-        pix_tiled = jnp.asarray(np.repeat(perm, nn).astype(np.uint32))
-        sub_tiled = jnp.asarray(
-            np.tile(np.arange(nn, dtype=np.uint32), rows * width)
-        )
-        tile_w, tile_h, rows_full = tiling
+    order = lane_order(width, rows, nn, eff_rows * LANE) if tile else None
+    if order is not None:
+        pix_tiled, sub_tiled, untile = order
 
     @jax.jit
     def run(cam_packed, seed, pass_idx, y_offset):
         B = rows * width * nn
-        if perm is None:
+        if order is None:
             local = jnp.arange(B, dtype=jnp.uint32)
             sub = local % jnp.uint32(nn)
             pix = jnp.asarray(y_offset, jnp.uint32) * jnp.uint32(width) + local // jnp.uint32(nn)
@@ -344,26 +369,12 @@ def make_pallas_render_pass(
             ch = V3(d, d, d)
         else:
             raise ValueError(f"unknown output {output!r}")
-        if perm is None:
+        if order is None:
             sums = jnp.stack(
                 [c.reshape(rows, width, nn).sum(axis=2)
                  for c in (ch.x, ch.y, ch.z)], axis=-1
             )
         else:
-            # per-pixel subpixel sums in tile order (nn lanes stay
-            # contiguous under the perm), then undo the tiling with pure
-            # reshapes + one transpose — NOT a gather (a per-lane gather
-            # here measured 25% of the whole pass)
-            def untile(c):
-                pp = c.reshape(rows * width, nn).sum(axis=1)
-                head = pp[: rows_full * width].reshape(
-                    rows_full // tile_h, width // tile_w, tile_h, tile_w
-                ).transpose(0, 2, 1, 3).reshape(rows_full, width)
-                if rows_full == rows:
-                    return head
-                tail = pp[rows_full * width:].reshape(rows - rows_full, width)
-                return jnp.concatenate([head, tail])
-
             sums = jnp.stack([untile(c) for c in (ch.x, ch.y, ch.z)], axis=-1)
         return sums, res.rays
 
