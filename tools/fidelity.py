@@ -130,6 +130,14 @@ def main() -> int:
                 if tag:  # structural check: correlation of fine features
                     entry[key]["corr"] = float(np.corrcoef(
                         img.mean(-1).ravel(), ref.mean(-1).ravel())[0, 1])
+                    # corr is noise-limited for near-uniform images (a
+                    # homogeneous fog ball has little spatial signal):
+                    # the honest yardstick is an ORACLE render at the
+                    # same spp vs the reference, not 1.0
+                    ceil = oracle_render_scene(scene, res_px, res_px, spp,
+                                               seed=12, **okw)
+                    entry[key]["corr_noise_ceiling"] = float(np.corrcoef(
+                        ceil.mean(-1).ravel(), ref.mean(-1).ravel())[0, 1])
                 print(f"{name}@{res_px} spp={spp}: {entry[key]}",
                       file=sys.stderr)
         out[name] = entry
