@@ -34,19 +34,18 @@ from bendy_tpu.scene.compiler import SceneArrays
 from bendy_tpu.utils.v3 import V3
 
 LANE = 128  # TPU lane width
-DEFAULT_ROWS = 32  # sublane rows per block -> 4096 lanes/block (swept optimum;
-#   smaller blocks exit earlier on coherent regions, larger ones amortize less)
-LONGPATH_ROWS = 16  # geodesic and volume scenes prefer smaller blocks:
-#   path lengths are wildly bimodal (sky lanes ~2 iterations, photon-sphere
-#   orbiters / deep marches 100s), so finer blocks cash in the per-block
-#   early exit (1080p lensed: 4.72 s @ 32 rows -> 4.55 s @ 16; volume/cloud
-#   +1-2%; 8 rows over-fragments to 6.9 s; cornell-class scenes measured
-#   slower at 16 and 64)
+DEFAULT_ROWS = 16  # sublane rows per block -> 2048 lanes/block. Re-swept
+#   under tile-major lane ordering (tools/block_sweep.py): 16 wins for
+#   every scene class — coherent square tiles make finer early exit pay
+#   even on flat scenes (cornell 1805 @ 16 vs 1719 @ 32 vs 1563 @ 64
+#   Mrays/s; blackhole 2695 @ 16; cloud 1233 @ 16; 8 over-fragments all).
+#   Pre-tiling, flat scenes preferred 32 (strip blocks were incoherent
+#   anyway, so amortization won).
 
 
 def rows_for(cfg) -> int:
-    """Swept per-config block height (see DEFAULT_ROWS / LONGPATH_ROWS)."""
-    return LONGPATH_ROWS if (cfg.geodesic or cfg.has_volumes) else DEFAULT_ROWS
+    """Swept block height (see DEFAULT_ROWS; tools/block_sweep.py)."""
+    return DEFAULT_ROWS
 
 N_OUT = 10  # rx ry rz ax ay az nx ny nz dep
 
