@@ -102,12 +102,15 @@ class TraceConfig(NamedTuple):
     #   carry, fresnel/refract math and the reflect-probability branch
     #   exist only for it)
     has_dof: bool = True  # camera has a focus distance (thin-lens defocus)
-    regen_every: int = 1  # static regen cadence: 2 = the finalize+camera
-    #   block compiles into every OTHER iteration only (dead lanes wait at
-    #   most one iteration; alive lanes are unaffected). Pays when paths
-    #   are long (geodesic: camera math is ~13% of the body and deaths are
-    #   ~1/20 per iteration); loses on short-path scenes where the idle
-    #   half-iteration outweighs it. Only 1 and 2 are supported.
+    regen_every: int = 1  # static regen cadence: k = the finalize+camera
+    #   block compiles into every k-th iteration only (dead lanes wait at
+    #   most k-1 iterations; alive lanes are unaffected). Swept under
+    #   tile-major lane ordering: k=2 wins on flat and volume scenes
+    #   (cornell +10%, cornell2 +13%, scene +11%; k=4 loses — deaths are
+    #   frequent so idle iterations overtake the saved camera math), k=8
+    #   wins on geodesic scenes (rare deaths over 100s-iteration paths:
+    #   blackhole +12%, disk showcase +8%; k=16 over-delays). Must divide
+    #   pending_check.
     pending_check: int = 8  # termination test cadence: the all-lanes-done
     #   reduction runs every N iterations (iterating an all-dead state is a
     #   masked no-op, so overshooting by up to N-1 iterations is exact; the
@@ -122,12 +125,12 @@ class TraceConfig(NamedTuple):
             per_path = (self.max_bounces + 2) * (self.max_volume_bounces + 2)
         if self.geodesic:
             per_path += (self.geo or _DEFAULT_GEO).max_steps
-        # regen_every=2 delays each regeneration by up to one iteration:
-        # a lane can idle one no-regen iteration per path, so the worst
-        # case gains spp extra iterations (without this, a hand-built
-        # config whose paths all hit the bounce cap could hit the cap and
-        # silently drop tail samples)
-        return per_path * spp + (spp if self.regen_every == 2 else 0)
+        # regen_every=k delays each regeneration by up to k-1 iterations:
+        # a lane can idle k-1 no-regen iterations per path, so the worst
+        # case gains spp*(k-1) extra iterations (without this, a
+        # hand-built config whose paths all hit the bounce cap could hit
+        # the cap and silently drop tail samples)
+        return per_path * spp + spp * (self.regen_every - 1)
 
 
 class TraceSums(NamedTuple):
@@ -232,10 +235,11 @@ def trace_core(
     kernel operand, pre-transposed to [G, W, D·H] — dense grids too big
     for the baked scalar unroll (see ops.volume._density_operand).
     """
-    if cfg.regen_every not in (1, 2):
+    if cfg.regen_every < 1 or cfg.pending_check % cfg.regen_every:
         raise ValueError(
-            f"regen_every={cfg.regen_every} unsupported (only 1 and 2: the "
-            "cadence is a static unroll of (regen, no-regen) iteration pairs)"
+            f"regen_every={cfg.regen_every} must be >= 1 and divide "
+            f"pending_check={cfg.pending_check} (the cadence is a static "
+            "unroll of one regen + k-1 no-regen iterations)"
         )
     B = pix.shape
     n = max(subsample, 1)
@@ -576,12 +580,19 @@ def trace_core(
         # run pending_check iterations, then one termination reduction.
         # Iterating an all-dead state is a fully-masked no-op, so the
         # overshoot is exact; the savings are (N-1)/N of the per-iteration
-        # cross-lane reductions. With regen_every=2 the fori step is a
-        # statically-unrolled (regen, no-regen) iteration pair.
-        if cfg.regen_every == 2:
+        # cross-lane reductions. With regen_every=k the fori step is a
+        # statically-unrolled group of one regen + k-1 no-regen iterations
+        # (total unrolled bodies per fori step stays pending_check).
+        k = cfg.regen_every
+        if k > 1:
+            def group(ss):
+                ss = body(ss, True)
+                for _ in range(k - 1):
+                    ss = body(ss, False)
+                return ss
+
             s = jax.lax.fori_loop(
-                0, max(cfg.pending_check // 2, 1),
-                lambda _, ss: body(body(ss, True), False), s,
+                0, max(cfg.pending_check // k, 1), lambda _, ss: group(ss), s
             )
         else:
             s = jax.lax.fori_loop(

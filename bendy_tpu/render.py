@@ -105,6 +105,28 @@ def merged_config(main: Config, render: RenderConfig, replicate_merge_bug: bool 
     )
 
 
+def derive_regen_every(has_masses: bool, backend: str | None = None) -> int:
+    """Regen (finalize+camera) cadence for the current backend.
+
+    The cadence is a pure scheduling static — output is bit-identical for
+    any k (gated by tests/test_cadence.py) — so it is tuned per backend:
+
+    - TPU: swept under tile-major lane ordering, every scene class
+      amortizes the regen block. Flat/volume scenes derive 2 (cornell
+      1664 -> 1842 Mrays/s; 4 loses — deaths are frequent, idle
+      iterations overtake the saved camera math). Geodesic paths are
+      100s of iterations with rare deaths: 8 wins (blackhole
+      2655 -> 2987, disk showcase 2230 -> 2408; 16 over-delays).
+    - CPU (tests/dev): 1. XLA-CPU compile time grows superlinearly with
+      the k-unrolled loop body (blackhole config: 5.6 s at k=1, 11.7 at
+      2, 102 at 8) and a CPU backend has no VPU issue slots to save.
+    """
+    backend = jax.default_backend() if backend is None else backend
+    if backend == "cpu":
+        return 1
+    return 8 if has_masses else 2
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "rows", "spp", "subsample", "cfg", "output"),
@@ -287,10 +309,7 @@ class Renderer:
             has_metallic=self.has_metallic,
             has_glass=self.has_glass,
             has_dof=has_dof,
-            # long-path scenes amortize the regen (finalize+camera) block
-            # over every other iteration; short-path scenes keep it inline
-            # (measured: geodesic +10%, volume scenes +6%, cornell loses)
-            regen_every=2 if (self.has_masses or self.has_volumes) else 1,
+            regen_every=derive_regen_every(self.has_masses),
             # the AOV pipeline (13 extra loop-carry arrays) compiles only
             # when an AOV channel is actually requested
             want_aovs=cfg.output is not Output.FULL,

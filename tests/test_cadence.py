@@ -38,29 +38,40 @@ def assert_cadence_exact(scene, config, **overrides):
     assert rays_a == rays_b  # alive-lane iteration counts match exactly
 
 
+def test_regen_every_derivation():
+    # cadence is backend-tuned (bit-identical output, so a pure
+    # scheduling choice): TPU flat/volume 2, TPU geodesic 8, CPU 1
+    # (XLA-CPU compile grows superlinearly with the k-unrolled body)
+    from bendy_tpu.render import derive_regen_every
+
+    assert derive_regen_every(False, backend="tpu") == 2
+    assert derive_regen_every(True, backend="tpu") == 8
+    assert derive_regen_every(False, backend="cpu") == 1
+    assert derive_regen_every(True, backend="cpu") == 1
+    assert derive_regen_every(False, backend="axon") == 2
+
+
 def test_regen_every_exact_volume():
-    # volume scenes derive regen_every=2; compare against the cadence-1
-    # config (identical semantics, finalize block in every iteration)
+    # the TPU-production cadence (2) vs the CPU-derived base (1)
     scene = load_scene("scenes/volume.json.gz")
     cfg = Config(max_bounces=4, max_volume_bounces=8)
-    r = Renderer(scene, cfg, use_pallas=False)
-    assert r.trace_config(cfg, scene.find_by_tag("camera")).regen_every == 2
-    assert_cadence_exact(scene, cfg, regen_every=1)
+    assert_cadence_exact(scene, cfg, regen_every=2)
 
 
 def test_regen_every_exact_geodesic():
+    # the TPU-production geodesic cadence (8) vs the base (1). This is
+    # the suite's slowest single compile (~100 s: the loop body unrolls
+    # 8x) — kept because it gates the exact production config
     from bendy_tpu.geodesic import GeoParams
 
     scene = load_scene("scenes/blackhole.json.gz")
     cfg = Config(max_bounces=2, geo=GeoParams(max_steps=48))
-    r = Renderer(scene, cfg, use_pallas=False)
-    assert r.trace_config(cfg, scene.find_by_tag("camera")).regen_every == 2
-    assert_cadence_exact(scene, cfg, regen_every=1)
+    assert_cadence_exact(scene, cfg, regen_every=8)
 
 
 def test_regen_every_exact_flat_forced():
-    # flat scenes derive regen_every=1; force 2 and require equality —
-    # the cadence must be exact regardless of whether it pays
+    # flat scenes derive 2 on TPU; gate it (and the must-divide rule
+    # covers 4 via test_max_iters/test_regen_every_validated)
     scene = load_scene("scenes/cornell.json.gz")
     assert_cadence_exact(scene, Config(max_bounces=4), regen_every=2)
 
@@ -91,10 +102,11 @@ def test_regen_every_validated():
 
 
 def test_max_iters_covers_regen_delay():
-    # regen_every=2 delays each path start by up to one iteration; the
-    # safety cap must gain spp so capped-bounce paths can't drop samples
+    # regen_every=k delays each path start by up to k-1 iterations; the
+    # safety cap must gain spp*(k-1) so capped-bounce paths can't drop
+    # samples
     from bendy_tpu.ops.wavefront import TraceConfig
 
     c1 = TraceConfig(regen_every=1)
-    c2 = TraceConfig(regen_every=2)
-    assert c2.max_iters(16) == c1.max_iters(16) + 16
+    assert TraceConfig(regen_every=2).max_iters(16) == c1.max_iters(16) + 16
+    assert TraceConfig(regen_every=8).max_iters(16) == c1.max_iters(16) + 7 * 16

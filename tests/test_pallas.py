@@ -264,3 +264,38 @@ def test_megakernel_sharded_matches_xla_sharded(tiles, samples):
         np.asarray(pal_sums), np.asarray(xla_sums), rtol=5e-4, atol=1e-5
     )
     assert float(pal_rays) == pytest.approx(float(xla_rays))
+
+
+def test_megakernel_sharded_tiled_matches_xla_sharded():
+    """Sharded megakernel with ACTIVE tile-major lane ordering == XLA.
+
+    The geometry above is too narrow for tile_perm to activate (tile
+    width would equal the image width); this one tiles — asserted — so
+    lane_order + the reshape/transpose untile run inside shard_map in CI.
+    """
+    from bendy_tpu.ops.pallas_trace import LANE, lane_order
+    from bendy_tpu.parallel.mesh import (
+        make_mesh,
+        make_pallas_pass_sharded,
+        render_pass_sharded,
+    )
+
+    W = H = 32
+    tiles, samples = 4, 2
+    r, cam, cfg = _setup("cornell", Config(max_bounces=2), W, H)
+    mesh = make_mesh(tiles, samples)
+    assert lane_order(W, H // tiles, 1, 1 * LANE) is not None
+
+    xla_sums, xla_rays = render_pass_sharded(
+        r.arrays, cam, jnp.uint32(21), jnp.uint32(0), mesh,
+        W, H, 2, 1, cfg, "full",
+    )
+    pal_fn = make_pallas_pass_sharded(
+        r.arrays, mesh, W, H, 2, 1, cfg, "full",
+        block_rows=1, interpret=True,
+    )
+    pal_sums, pal_rays = pal_fn(pack_camera(cam), jnp.uint32(21), jnp.uint32(0))
+    np.testing.assert_allclose(
+        np.asarray(pal_sums), np.asarray(xla_sums), rtol=5e-4, atol=1e-5
+    )
+    assert float(pal_rays) == pytest.approx(float(xla_rays))

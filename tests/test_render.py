@@ -176,6 +176,7 @@ def test_dense_grid_matches_native_oracle():
     assert np.abs(blk(ours) - blk(ref)).max() < 0.08
 
 
+@pytest.mark.slow
 def test_prim_grid_64_matches_native_oracle():
     """64-primitive generated scene (32 spheres + 32 boxes, all four
     material kinds): the statically-unrolled sweep must stay correct well
