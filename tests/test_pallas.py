@@ -206,6 +206,43 @@ def test_megakernel_render_pass_aov_channels(output):
     )
 
 
+def test_tile_perm_properties():
+    """tile_perm is a permutation and lane_order's untile inverts it,
+    across geometries incl. ragged trailing rows and non-square images
+    (pure numpy/CPU — no kernel)."""
+    from bendy_tpu.ops.pallas_trace import lane_order, tile_perm
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (256, 256, 4, 16 * 128), (256, 256, 1, 16 * 128),
+        (1920, 36, 1, 16 * 128), (1920, 1080, 1, 16 * 128),
+        (512, 288, 1, 16 * 128), (64, 40, 4, 2 * 128),
+        (320, 200, 9, 8 * 128), (48, 48, 1, 1 * 128),
+    ]
+    activated = 0
+    for width, rows, nn, lanes in cases:
+        out = tile_perm(width, rows, nn, lanes)
+        if out[0] is None:
+            continue
+        activated += 1
+        perm, (tile_w, tile_h, rows_full) = out
+        assert np.array_equal(np.sort(perm), np.arange(rows * width))
+        assert width % tile_w == 0 and rows_full == (rows // tile_h) * tile_h
+        # untile() recovers row-major per-pixel sums from per-lane values
+        pix_tiled, sub_tiled, untile = lane_order(width, rows, nn, lanes)
+        vals = rng.uniform(size=rows * width * nn).astype(np.float32)
+        # lane l carries pixel perm[l//nn]: scatter per-pixel sums back
+        expect = np.zeros(rows * width, np.float32)
+        np.add.at(expect, np.asarray(pix_tiled, np.int64), vals)
+        got = np.asarray(untile(jnp.asarray(vals))).reshape(-1)
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+        # subpixel ids cycle 0..nn-1 within each pixel's lane group
+        assert np.array_equal(
+            np.asarray(sub_tiled).reshape(-1, nn)[0], np.arange(nn)
+        )
+    assert activated >= 5  # the geometries above must exercise the perm
+
+
 @pytest.mark.parametrize("H", [32, 24])  # 24: ragged trailing tile-row
 def test_megakernel_tile_order_bit_identical(H):
     """Tile-major lane ordering (pallas_trace.tile_perm) is a pure
