@@ -183,7 +183,7 @@ def measure_iters_per_sec(info, repeats=5, chain=4):
     import jax.numpy as jnp
     import numpy as np
 
-    from bendy_tpu.ops.pallas_trace import make_pallas_tracer
+    from bendy_tpu.ops.pallas_trace import lane_order, make_pallas_tracer
 
     r = info["renderer"]
     W, H, spp, n = info["width"], info["height"], info["spp"], info["subsample"]
@@ -194,9 +194,15 @@ def measure_iters_per_sec(info, repeats=5, chain=4):
                               block_rows=info["block_rows"],
                               vol_operand=vol_operand)
     B = W * H * nn
-    local = jnp.arange(B, dtype=jnp.uint32)
-    pix = local // jnp.uint32(nn)
-    sub = local % jnp.uint32(nn)
+    # production lane schedule: tile-major when it activates (the
+    # occupancy figure must describe what the renderer actually runs)
+    order = lane_order(W, H, nn, info["block_rows"] * 128)
+    if order is not None:
+        pix, sub = order[0], order[1]
+    else:
+        local = jnp.arange(B, dtype=jnp.uint32)
+        pix = local // jnp.uint32(nn)
+        sub = local % jnp.uint32(nn)
     base = int.from_bytes(os.urandom(4), "little")
     out = kern(r._cam_packed, jnp.uint32(base), jnp.uint32(0), pix, sub)
     jax.block_until_ready(out.radiance.x)  # compile
