@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render across a device mesh, e.g. 4x2 (shard_map)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a JAX profiler trace of the render into DIR")
+    p.add_argument("--compile-cache", default="~/.cache/bendy_tpu/xla",
+                   metavar="DIR",
+                   help="persistent XLA compilation cache: the first render "
+                        "of a (scene-shape, config) pays the 20-40s jit "
+                        "compile once per machine, not once per process "
+                        "(pass an empty string to disable)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the TPU answer to debug-glam-assert)")
     return p
@@ -176,6 +182,17 @@ def main(argv=None) -> int:
         max_bounces=args.max_bounces,
         volume_step=args.volume_step,
     )
+
+    if args.compile_cache:
+        import jax
+
+        # populated lazily by XLA on every compile >= 1s (so the cornell
+        # megakernel caches but per-pass reshapes don't); safe to share
+        # between processes — entries are keyed on the serialized program
+        # + platform, and a backend that can't serialize just skips it
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(args.compile_cache)
+        )
 
     if args.debug_nans:
         import jax

@@ -72,6 +72,7 @@ class PreviewServer:
         explicit operator decision (``host="0.0.0.0"``)."""
         self._lock = threading.Lock()
         self._png = b""
+        self._want_frame = False  # a client asked for /frame.png
         self._stats = {}
         self._commands: deque = deque()
         server = self
@@ -91,6 +92,7 @@ class PreviewServer:
                 if self.path.startswith("/frame.png"):
                     with server._lock:
                         body, ctype = server._png, "image/png"
+                        server._want_frame = True  # refresh next pass
                 elif self.path.startswith("/stats"):
                     with server._lock:
                         body = json.dumps(server._stats).encode()
@@ -123,14 +125,29 @@ class PreviewServer:
         self.port = self._httpd.server_address[1]  # resolved when port=0
 
     def publish(self, film, **stats) -> None:
-        """Publish the film's current preview + telemetry."""
+        """Publish the film's current preview + telemetry.
+
+        Telemetry updates every call (host-side counters, free). The
+        frame itself is DEMAND-DRIVEN: ``film.preview()`` on a DeviceFilm
+        is a full device->host fetch (~24 MB at 1080p over a ~10 MB/s
+        remote link — it would dominate every pass, the exact overhead
+        DeviceFilm exists to avoid), so the fetch+encode runs only when a
+        client requested ``/frame.png`` since the last publish (the
+        auto-refresh page re-requests every second, so a watched render
+        refreshes each pass; an unwatched one pays nothing).
+        """
+        with self._lock:
+            self._stats = {"samples": film.samples, "passes": film.passes, **stats}
+            want = self._want_frame or not self._png
+            self._want_frame = False
+        if not want:
+            return
         from PIL import Image
 
         buf = io.BytesIO()
         Image.fromarray(film.preview()).save(buf, format="PNG")
         with self._lock:
             self._png = buf.getvalue()
-            self._stats = {"samples": film.samples, "passes": film.passes, **stats}
 
     def drain_commands(self) -> list[tuple[str, dict]]:
         """Pop all queued control commands ((name, args) pairs, FIFO).

@@ -16,6 +16,7 @@ def _args(tmp_path, **over):
         "--scene": "scenes/cornell.json.gz",
         "--screenshot": str(tmp_path / "shot.png"),
         "--max-bounces": "2", "--spp-per-pass": "2", "--seed": "3",
+        "--compile-cache": "",  # keep tests hermetic (no ~/.cache writes)
     }
     base.update(over)
     argv = []
@@ -73,6 +74,28 @@ def test_cli_checkpoint_cadence(tmp_path, monkeypatch):
     assert saves == [4, 6, 6]
     film, _ = Film.load_checkpoint(ckpt)
     assert film.samples == 12 and film.passes == 6
+
+
+def test_cli_compile_cache_populates(tmp_path):
+    """[+] --compile-cache DIR: the jit programs persist across processes
+    (the reference binary has zero compile cost; this flag keeps ours to
+    once per machine instead of once per process)."""
+    import jax
+
+    cache = tmp_path / "xla-cache"
+    # tiny CPU compiles can be fast: cache everything for the assertion
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        # a film shape no other test renders: the in-process jit cache
+        # must MISS for an XLA compile (and hence a cache write) to happen
+        assert main(_args(tmp_path, **{"--compile-cache": str(cache),
+                                       "--width": "20", "--height": "12"})) == 0
+        assert cache.is_dir() and len(os.listdir(cache)) > 0
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_compilation_cache_dir", None)
 
 
 def test_cli_depth_channel_and_missing_camera(tmp_path):

@@ -110,6 +110,44 @@ def test_preview_server_roundtrip():
         srv.close()
 
 
+def test_publish_fetches_frame_only_on_demand():
+    """publish() must not fetch the film every pass: on a DeviceFilm that
+    is a ~24 MB device->host transfer per 1080p frame. The fetch+encode
+    runs on the first publish and then only after a /frame.png request."""
+    film = Film(8, 8)
+    film.add_pass(np.ones((8, 8, 3), np.float32), 1)
+    fetches = []
+    orig = Film.preview
+
+    class Counting(Film):
+        def preview(self):
+            fetches.append(1)
+            return orig(self)
+
+    film.__class__ = Counting
+    srv = PreviewServer(0)
+    try:
+        srv.publish(film)  # first publish: encode (page needs something)
+        assert len(fetches) == 1
+        srv.publish(film)  # nobody asked since: no fetch
+        srv.publish(film)
+        assert len(fetches) == 1
+        png = urllib.request.urlopen(
+            f"http://localhost:{srv.port}/frame.png", timeout=10
+        ).read()
+        assert png[:4] == b"\x89PNG"  # served (stale) frame immediately
+        srv.publish(film)  # demand flag set -> refresh
+        assert len(fetches) == 2
+        srv.publish(film)  # consumed -> back to idle
+        assert len(fetches) == 2
+        # stats stay live even when the frame is idle
+        stats = json.load(urllib.request.urlopen(
+            f"http://localhost:{srv.port}/stats", timeout=10))
+        assert stats["passes"] == 1
+    finally:
+        srv.close()
+
+
 def test_camera_command_moves_and_aims(tmp_path):
     """[+] POST /camera: translation-only keeps the rotation; with a
     target it aims -Z at the target; both clear the film."""
