@@ -234,7 +234,10 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         if server is not None:
-            server.publish(film, mrays=round(renderer.rays_traced / max(sum_delta, 1e-9) / 1e6, 1))
+            # rays_traced drains device-pending counters (~1 RTT): lazy,
+            # so it syncs only when a /stats client is actually polling
+            server.publish(film, lazy=lambda: {"mrays": round(
+                renderer.rays_traced / max(sum_delta, 1e-9) / 1e6, 1)})
             for name, cargs in server.drain_commands():
                 # a bad command (unwritable path, corrupt scene file, junk
                 # resize args) must not take down a multi-hour render

@@ -73,6 +73,7 @@ class PreviewServer:
         self._lock = threading.Lock()
         self._png = b""
         self._want_frame = False  # a client asked for /frame.png
+        self._want_stats = False  # a client asked for /stats
         self._stats = {}
         self._commands: deque = deque()
         server = self
@@ -96,6 +97,7 @@ class PreviewServer:
                 elif self.path.startswith("/stats"):
                     with server._lock:
                         body = json.dumps(server._stats).encode()
+                        server._want_stats = True  # refresh next pass
                     ctype = "application/json"
                 else:
                     body, ctype = _PAGE, "text/html"
@@ -124,23 +126,39 @@ class PreviewServer:
         self._thread.start()
         self.port = self._httpd.server_address[1]  # resolved when port=0
 
-    def publish(self, film, **stats) -> None:
+    def publish(self, film, lazy=None, **stats) -> None:
         """Publish the film's current preview + telemetry.
 
-        Telemetry updates every call (host-side counters, free). The
-        frame itself is DEMAND-DRIVEN: ``film.preview()`` on a DeviceFilm
-        is a full device->host fetch (~24 MB at 1080p over a ~10 MB/s
-        remote link — it would dominate every pass, the exact overhead
-        DeviceFilm exists to avoid), so the fetch+encode runs only when a
-        client requested ``/frame.png`` since the last publish (the
-        auto-refresh page re-requests every second, so a watched render
-        refreshes each pass; an unwatched one pays nothing).
+        Cheap telemetry (host-side counters + ``stats`` kwargs) updates
+        every call. Everything touching the device is DEMAND-DRIVEN —
+        this runs once per pass on the render loop, and on the remote
+        TPU every device round-trip costs ~30 ms (a whole 64-spp pass):
+
+        - the frame: ``film.preview()`` on a DeviceFilm is a full
+          device->host fetch (~24 MB at 1080p over a ~10 MB/s link), so
+          it refreshes only when a client requested ``/frame.png`` since
+          the last publish,
+        - ``lazy``: an optional callable returning a stats dict whose
+          computation costs a device sync (e.g. the renderer's pending
+          ray counters); called only when a client requested ``/stats``
+          since the last publish, its values persisting in between.
+
+        The auto-refresh page re-requests both every second, so a
+        watched render stays live; an unwatched one pays nothing.
         """
         with self._lock:
-            self._stats = {"samples": film.samples, "passes": film.passes, **stats}
-            want = self._want_frame or not self._png
+            prev = self._stats
+            want_stats = self._want_stats and lazy is not None
+            self._want_stats = False
+            want_frame = self._want_frame or not self._png
             self._want_frame = False
-        if not want:
+        extra = lazy() if want_stats else {
+            k: v for k, v in prev.items() if k not in ("samples", "passes")
+        }
+        with self._lock:
+            self._stats = {"samples": film.samples, "passes": film.passes,
+                           **extra, **stats}
+        if not want_frame:
             return
         from PIL import Image
 

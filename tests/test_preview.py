@@ -148,6 +148,37 @@ def test_publish_fetches_frame_only_on_demand():
         srv.close()
 
 
+def test_publish_lazy_stats_only_on_demand():
+    """The ``lazy`` stats callable costs a device sync on the render
+    loop: it must run only when a client polled /stats since the last
+    publish, and its last value must persist in between."""
+    film = Film(8, 8)
+    film.add_pass(np.ones((8, 8, 3), np.float32), 1)
+    calls = []
+
+    def lazy():
+        calls.append(1)
+        return {"mrays": float(len(calls))}
+
+    srv = PreviewServer(0)
+    try:
+        srv.publish(film, lazy=lazy)  # nobody polled yet
+        srv.publish(film, lazy=lazy)
+        assert calls == []
+        stats = json.load(urllib.request.urlopen(
+            f"http://localhost:{srv.port}/stats", timeout=10))
+        assert "mrays" not in stats  # never computed so far
+        srv.publish(film, lazy=lazy)  # demand flag set -> compute
+        assert len(calls) == 1
+        srv.publish(film, lazy=lazy)  # consumed -> idle again
+        assert len(calls) == 1
+        stats = json.load(urllib.request.urlopen(
+            f"http://localhost:{srv.port}/stats", timeout=10))
+        assert stats["mrays"] == 1.0  # persisted from the last compute
+    finally:
+        srv.close()
+
+
 def test_camera_command_moves_and_aims(tmp_path):
     """[+] POST /camera: translation-only keeps the rotation; with a
     target it aims -Z at the target; both clear the film."""
