@@ -370,6 +370,22 @@ def nearest_hit(
         if carry_volumes:
             c_vgrid = c_vgrid * keep_i - better_i
 
+    return _manifold(
+        org, dir, t_best, is_sph, srow, interior, c_center, c_radius,
+        c_zb, c_p, c_mtype, c_color, c_rough, c_ior, c_vgrid, c_vsize,
+        has_sph, has_rct, B,
+    )
+
+
+def _manifold(
+    org: V3, dir: V3, t_best, is_sph, srow, interior, c_center, c_radius,
+    c_zb, c_p, c_mtype, c_color, c_rough, c_ior, c_vgrid, c_vsize,
+    has_sph: bool, has_rct: bool, B,
+) -> Hit:
+    """Winner carries -> Hit record (shared by the unrolled and looped
+    sweeps): face codes, oriented normals, the interior pseudo-hit, and
+    the (albedo, emitted) reconstruction from the merged color carry."""
+    i0 = jnp.zeros(B, jnp.int32)
     valid = jnp.isfinite(t_best)
     position = org + dir * t_best
 
@@ -444,6 +460,277 @@ def nearest_hit(
         sphere_row=sphere_row,
         bbox_min=c_center - V3.splat(c_radius),
         bbox_size=V3.splat(2.0 * c_radius),
+    )
+
+
+def nearest_hit_looped(
+    org: V3,
+    dir: V3,
+    cmin: jnp.ndarray,
+    cmax: jnp.ndarray,
+    scn: SceneArrays,
+    march: Optional[jnp.ndarray] = None,
+    last_sphere: Optional[jnp.ndarray] = None,
+    carry_rough: bool = True,
+    carry_ior: bool = True,
+    carry_volumes: bool = True,
+    block: int = 8,
+) -> Hit:
+    """Compile-time-flat nearest hit: ``lax.fori_loop`` over primitive rows.
+
+    Same semantics (and the same float arithmetic, in the same order) as
+    :func:`nearest_hit`, but the sweep loops over [N, C] row matrices with
+    ``dynamic_slice`` loads instead of statically unrolling — compile time
+    is O(block), not O(N). The unrolled sweep's per-primitive code bloats
+    XLA superlinearly (measured: 4 s at 16 prims -> 33 s at 128, see
+    docs/prim_scaling.json), which walls off large scenes; the reference's
+    linear scan (``src/tracer/mod.rs:389-402``) handles any count at zero
+    compile cost, and this is its TPU equivalent. The renderer selects it
+    automatically above ``LOOP_SWEEP_THRESHOLD`` primitives.
+
+    ``block`` primitives are unrolled per loop iteration to amortize loop
+    overhead; row counts pad up to a multiple with rows whose validity
+    column masks their t to +inf (degenerate pad geometry may otherwise
+    produce real hits, e.g. a zero-radius sphere on an exact-center ray).
+
+    Not available inside the Pallas megakernel: the baked-constant scene
+    there cannot be indexed by a traced row id (the renderer keeps large
+    scenes on the XLA path, where compile time is the binding constraint).
+    """
+    import jax
+
+    B = org.x.shape
+    f32 = org.x.dtype
+    zero = jnp.zeros(B, f32)
+    i0 = jnp.zeros(B, jnp.int32)
+
+    has_sph = scn.n_spheres > 0
+    has_rct = scn.n_trace_rects > 0 or scn.n_boxes > 0
+
+    class _Sweep(NamedTuple):
+        t_best: jnp.ndarray
+        is_sph: jnp.ndarray
+        srow: jnp.ndarray
+        interior: jnp.ndarray
+        c_center: V3
+        c_radius: jnp.ndarray
+        c_zb: V3
+        c_p: jnp.ndarray
+        c_mtype: jnp.ndarray
+        c_color: V3
+        c_rough: jnp.ndarray
+        c_ior: jnp.ndarray
+        c_vgrid: jnp.ndarray
+        c_vsize: V3
+
+    st = _Sweep(
+        t_best=jnp.full(B, INF, f32),
+        is_sph=i0,
+        srow=i0 - 1,
+        interior=i0,
+        c_center=V3(zero, zero, zero),
+        c_radius=zero + 1.0,
+        c_zb=V3(zero, zero, zero),
+        c_p=zero,
+        c_mtype=i0,
+        c_color=V3(zero, zero, zero),
+        c_rough=zero,
+        c_ior=zero + 1.0,
+        c_vgrid=i0 - 1,
+        c_vsize=V3(zero, zero, zero),
+    )
+
+    end = org + dir * cmax if march is not None else None
+
+    def merged_color(mtype, albedo, emitted):
+        # row-matrix twin of _prim_color (vectorized over prims at stack
+        # time — compile-time work, not per-ray)
+        is_em = (mtype == MAT_FLAT) | (mtype == MAT_EMISSIVE)
+        return jnp.where(is_em[:, None], emitted, albedo)
+
+    def padded(rows_mat):
+        n = rows_mat.shape[0]
+        pad = (-n) % block
+        if pad:
+            rows_mat = jnp.concatenate(
+                [rows_mat, jnp.zeros((pad, rows_mat.shape[1]), f32)]
+            )
+        return rows_mat, (n + pad) // block
+
+    if has_sph:
+        rows = jnp.concatenate(
+            [
+                scn.sph_center.astype(f32),  # 0:3
+                scn.sph_radius.astype(f32)[:, None],  # 3
+                scn.sph_mtype.astype(f32)[:, None],  # 4
+                merged_color(scn.sph_mtype, scn.sph_albedo,
+                             scn.sph_emitted).astype(f32),  # 5:8
+                scn.sph_rough.astype(f32)[:, None],  # 8
+                scn.sph_ior.astype(f32)[:, None],  # 9
+                scn.sph_vol_grid.astype(f32)[:, None],  # 10
+                scn.sph_vol_size.astype(f32),  # 11:14
+                jnp.ones((scn.n_spheres, 1), f32),  # 14 valid
+            ],
+            axis=1,
+        )
+        rows, n_blocks = padded(rows)
+
+        def sph_block(blk, st: _Sweep) -> _Sweep:
+            base = blk * block
+            r = jax.lax.dynamic_slice_in_dim(rows, base, block, axis=0)
+            for j in range(block):
+                center = V3(r[j, 0], r[j, 1], r[j, 2])
+                radius = r[j, 3]
+                k = base + j
+                t_k = sphere_t(org, dir, cmin, cmax, center, radius)
+                int_k = i0
+                if march is not None:
+                    is_last = march & (last_sphere == k)
+                    inside = (end - center).length_squared() <= radius * radius
+                    int_k = (is_last & inside).astype(jnp.int32)
+                    t_k = jnp.where(is_last, jnp.where(inside, cmax, t_k), t_k)
+                t_k = jnp.where(r[j, 14] > 0.0, t_k, INF)
+                better = t_k < st.t_best
+                better_i = better.astype(jnp.int32)
+                keep_i = 1 - better_i
+                st = st._replace(
+                    t_best=jnp.where(better, t_k, st.t_best),
+                    is_sph=jnp.maximum(st.is_sph, better_i) if has_rct else st.is_sph,
+                    srow=st.srow * keep_i + k * better_i,
+                    interior=st.interior * keep_i + int_k * better_i,
+                    c_center=V3.where(better, center, st.c_center),
+                    c_radius=jnp.where(better, radius, st.c_radius),
+                    c_mtype=jnp.where(better, r[j, 4].astype(jnp.int32), st.c_mtype),
+                    c_color=V3.where(better, V3(r[j, 5], r[j, 6], r[j, 7]), st.c_color),
+                )
+                if carry_rough:
+                    st = st._replace(c_rough=jnp.where(better, r[j, 8], st.c_rough))
+                if carry_ior:
+                    st = st._replace(c_ior=jnp.where(better, r[j, 9], st.c_ior))
+                if carry_volumes:
+                    st = st._replace(
+                        c_vgrid=jnp.where(better, r[j, 10].astype(jnp.int32), st.c_vgrid),
+                        c_vsize=V3.where(
+                            better, V3(r[j, 11], r[j, 12], r[j, 13]), st.c_vsize
+                        ),
+                    )
+            return st
+
+        st = jax.lax.fori_loop(0, n_blocks, sph_block, st)
+
+    if scn.n_trace_rects > 0:
+        nt = scn.n_trace_rects
+        rows = jnp.concatenate(
+            [
+                scn.rct_center[:nt].astype(f32),  # 0:3
+                scn.rct_x[:nt].astype(f32),  # 3:6
+                scn.rct_y[:nt].astype(f32),  # 6:9
+                scn.rct_z[:nt].astype(f32),  # 9:12
+                scn.rct_hw[:nt].astype(f32)[:, None],  # 12
+                scn.rct_hh[:nt].astype(f32)[:, None],  # 13
+                scn.rct_mtype[:nt].astype(f32)[:, None],  # 14
+                merged_color(scn.rct_mtype[:nt], scn.rct_albedo[:nt],
+                             scn.rct_emitted[:nt]).astype(f32),  # 15:18
+                scn.rct_rough[:nt].astype(f32)[:, None],  # 18
+                scn.rct_ior[:nt].astype(f32)[:, None],  # 19
+                jnp.ones((nt, 1), f32),  # 20 valid
+            ],
+            axis=1,
+        )
+        rows, n_blocks = padded(rows)
+
+        def rct_block(blk, st: _Sweep) -> _Sweep:
+            base = blk * block
+            r = jax.lax.dynamic_slice_in_dim(rows, base, block, axis=0)
+            for j in range(block):
+                zb = V3(r[j, 9], r[j, 10], r[j, 11])
+                t_k, p_k = rect_t(
+                    org, dir, cmin, cmax, V3(r[j, 0], r[j, 1], r[j, 2]),
+                    V3(r[j, 3], r[j, 4], r[j, 5]), V3(r[j, 6], r[j, 7], r[j, 8]),
+                    zb, r[j, 12], r[j, 13],
+                )
+                t_k = jnp.where(r[j, 20] > 0.0, t_k, INF)
+                better = t_k < st.t_best
+                better_i = better.astype(jnp.int32)
+                keep_i = 1 - better_i
+                st = st._replace(
+                    t_best=jnp.where(better, t_k, st.t_best),
+                    is_sph=st.is_sph * keep_i if has_sph else st.is_sph,
+                    interior=st.interior * keep_i if has_sph else st.interior,
+                    c_zb=V3.where(better, zb, st.c_zb),
+                    c_p=jnp.where(better, p_k, st.c_p),
+                    c_mtype=jnp.where(better, r[j, 14].astype(jnp.int32), st.c_mtype),
+                    c_color=V3.where(
+                        better, V3(r[j, 15], r[j, 16], r[j, 17]), st.c_color
+                    ),
+                )
+                if carry_rough:
+                    st = st._replace(c_rough=jnp.where(better, r[j, 18], st.c_rough))
+                if carry_ior:
+                    st = st._replace(c_ior=jnp.where(better, r[j, 19], st.c_ior))
+                if carry_volumes:
+                    st = st._replace(c_vgrid=st.c_vgrid * keep_i - better_i)
+            return st
+
+        st = jax.lax.fori_loop(0, n_blocks, rct_block, st)
+
+    if scn.n_boxes > 0:
+        nb = scn.n_boxes
+        rows = jnp.concatenate(
+            [
+                scn.box_n.reshape(nb, 9).astype(f32),  # 0:9
+                scn.box_dlo.astype(f32),  # 9:12
+                scn.box_dhi.astype(f32),  # 12:15
+                scn.box_sgn_lo.astype(f32),  # 15:18
+                scn.box_sgn_hi.astype(f32),  # 18:21
+                scn.box_mtype.astype(f32)[:, None],  # 21
+                merged_color(scn.box_mtype, scn.box_albedo,
+                             scn.box_emitted).astype(f32),  # 22:25
+                scn.box_rough.astype(f32)[:, None],  # 25
+                scn.box_ior.astype(f32)[:, None],  # 26
+                jnp.ones((nb, 1), f32),  # 27 valid
+            ],
+            axis=1,
+        )
+        rows, n_blocks = padded(rows)
+
+        def box_block(blk, st: _Sweep) -> _Sweep:
+            base = blk * block
+            r = jax.lax.dynamic_slice_in_dim(rows, base, block, axis=0)
+            for j in range(block):
+                t_k, p_k, zb_k = box_t(
+                    org, dir, cmin, cmax, r[j, 0:9].reshape(3, 3),
+                    r[j, 9:12], r[j, 12:15], r[j, 15:18], r[j, 18:21],
+                )
+                t_k = jnp.where(r[j, 27] > 0.0, t_k, INF)
+                better = t_k < st.t_best
+                better_i = better.astype(jnp.int32)
+                keep_i = 1 - better_i
+                st = st._replace(
+                    t_best=jnp.where(better, t_k, st.t_best),
+                    is_sph=st.is_sph * keep_i if has_sph else st.is_sph,
+                    interior=st.interior * keep_i if has_sph else st.interior,
+                    c_zb=V3.where(better, zb_k, st.c_zb),
+                    c_p=jnp.where(better, p_k, st.c_p),
+                    c_mtype=jnp.where(better, r[j, 21].astype(jnp.int32), st.c_mtype),
+                    c_color=V3.where(
+                        better, V3(r[j, 22], r[j, 23], r[j, 24]), st.c_color
+                    ),
+                )
+                if carry_rough:
+                    st = st._replace(c_rough=jnp.where(better, r[j, 25], st.c_rough))
+                if carry_ior:
+                    st = st._replace(c_ior=jnp.where(better, r[j, 26], st.c_ior))
+                if carry_volumes:
+                    st = st._replace(c_vgrid=st.c_vgrid * keep_i - better_i)
+            return st
+
+        st = jax.lax.fori_loop(0, n_blocks, box_block, st)
+
+    return _manifold(
+        org, dir, st.t_best, st.is_sph, st.srow, st.interior, st.c_center,
+        st.c_radius, st.c_zb, st.c_p, st.c_mtype, st.c_color, st.c_rough,
+        st.c_ior, st.c_vgrid, st.c_vsize, has_sph, has_rct, B,
     )
 
 

@@ -59,6 +59,7 @@ from bendy_tpu.ops.intersect import (
     FACE_FRONT,
     FACE_VOLUME_BACK,
     nearest_hit,
+    nearest_hit_looped,
 )
 from bendy_tpu.ops.materials import shade_surface
 from bendy_tpu.ops.volume import volume_shade
@@ -117,6 +118,13 @@ class TraceConfig(NamedTuple):
     #   cross-lane reduction was ~2 transposes + log2(B) adds per iteration)
     want_aovs: bool = True  # static: False drops the whole AOV pipeline from
     #   the loop carry (13 [B] arrays + claim logic) for FULL-only renders
+    looped_sweep: bool = False  # static: sweep primitives with a
+    #   lax.fori_loop over stacked rows (compile time O(1) in primitive
+    #   count) instead of the static unroll (whose XLA compile grows
+    #   superlinearly — docs/prim_scaling.json). The renderer derives it
+    #   for scenes above render.LOOP_SWEEP_THRESHOLD primitives; XLA path
+    #   only (the megakernel's baked-constant scene cannot be indexed by
+    #   a traced row id).
 
     def max_iters(self, spp: int) -> int:
         """Loop-length safety cap: per-path worst case × samples."""
@@ -453,7 +461,8 @@ def trace_core(
                 cmin = cfg.clip_min
                 cmax = cfg.clip_max
 
-        hit = nearest_hit(
+        hit_fn = nearest_hit_looped if cfg.looped_sweep else nearest_hit
+        hit = hit_fn(
             org, trace_dir, cmin, cmax, scn,
             march=march if cfg.has_volumes else None,
             last_sphere=s.last_sph if cfg.has_volumes else None,

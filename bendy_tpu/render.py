@@ -105,6 +105,17 @@ def merged_config(main: Config, render: RenderConfig, replicate_merge_bug: bool 
     )
 
 
+LOOP_SWEEP_THRESHOLD = 192  # primitives (spheres + traced rects + boxes)
+#   above which the renderer swaps the statically-unrolled primitive sweep
+#   for the fori_loop row sweep (ops/intersect.nearest_hit_looped). The
+#   unrolled sweep's compile time grows superlinearly with the count
+#   (docs/prim_scaling.json: 4 s at 16 prims, 33 s at 128) while the
+#   looped sweep compiles in constant time; at this size the compile wall
+#   outweighs the unroll's throughput edge. Large scenes run on the XLA
+#   path (the megakernel bakes the scene as constants, which a traced row
+#   id cannot index).
+
+
 def derive_regen_every(has_masses: bool, backend: str | None = None) -> int:
     """Regen (finalize+camera) cadence for the current backend.
 
@@ -224,6 +235,9 @@ class Renderer:
         self.has_diffuse = MAT_DIFFUSE in mtypes
         self.has_metallic = MAT_METALLIC in mtypes
         self.has_glass = MAT_GLASS in mtypes
+        self.prim_count = (
+            self.arrays.n_spheres + self.arrays.n_trace_rects + self.arrays.n_boxes
+        )
 
     @property
     def rays_traced(self) -> float:
@@ -310,6 +324,7 @@ class Renderer:
             has_glass=self.has_glass,
             has_dof=has_dof,
             regen_every=derive_regen_every(self.has_masses),
+            looped_sweep=self.prim_count > LOOP_SWEEP_THRESHOLD,
             # the AOV pipeline (13 extra loop-carry arrays) compiles only
             # when an AOV channel is actually requested
             want_aovs=cfg.output is not Output.FULL,
@@ -356,7 +371,7 @@ class Renderer:
             rows = min(rows_chunk, H - y0)
             entry = (
                 self._pallas_render_pass(W, H, rows, render_config.samples, n, tcfg, cfg)
-                if self.use_pallas
+                if self.use_pallas and not tcfg.looped_sweep
                 else None
             )
             sums = None

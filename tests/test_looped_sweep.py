@@ -1,0 +1,187 @@
+"""Looped primitive sweep (ops/intersect.nearest_hit_looped).
+
+The fori_loop row sweep must be a pure compile-time trade: identical
+float arithmetic in identical order to the statically-unrolled sweep, so
+every gate is exact bit-identity. Correctness at scale is gated against
+the C++ oracle at 256+ primitives — a count the unrolled path cannot
+even compile in reasonable time on XLA-CPU (docs/prim_scaling.json).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bendy_tpu.film import Film
+from bendy_tpu.models.prim_grid import build_prim_grid
+from bendy_tpu.ops.intersect import nearest_hit, nearest_hit_looped
+from bendy_tpu.render import (
+    LOOP_SWEEP_THRESHOLD,
+    Config,
+    Renderer,
+    RenderConfig,
+    Subsample,
+)
+from bendy_tpu.scene import load_scene
+from bendy_tpu.scene.compiler import compile_scene
+from bendy_tpu.utils.v3 import V3
+
+
+def _leaves_equal(a, b):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        x, y = np.asarray(x), np.asarray(y)
+        if x.dtype.kind == "f":
+            x = np.nan_to_num(x, posinf=1e30)  # +inf == +inf
+            y = np.nan_to_num(y, posinf=1e30)
+        if not np.array_equal(x, y):
+            return False
+    return True
+
+
+@pytest.mark.parametrize("name,march", [("cornell", False), ("cloud", True),
+                                        ("scene", False)])
+def test_nearest_hit_looped_bit_identical(name, march):
+    """Random rays over every primitive-kind mix (rects+boxes, volume
+    spheres with march lanes, plain spheres): all Hit fields bit-equal."""
+    scn = compile_scene(load_scene(f"scenes/{name}.json.gz"))
+    rng = np.random.default_rng(0)
+    B = 512
+    org = V3(*(jnp.asarray(rng.normal(0, 3, B), jnp.float32) for _ in range(3)))
+    d = rng.normal(size=(3, B))
+    d /= np.linalg.norm(d, axis=0)
+    dirv = V3(*(jnp.asarray(d[i], jnp.float32) for i in range(3)))
+    cmin, cmax = 0.01, 1000.0
+    kw = {}
+    if march:
+        kw = dict(
+            march=jnp.asarray(rng.random(B) < 0.3),
+            last_sphere=jnp.asarray(
+                rng.integers(-1, scn.n_spheres, B), jnp.int32
+            ),
+        )
+        cmin = jnp.where(kw["march"], 0.0, cmin)
+        cmax = jnp.where(kw["march"], 0.1, cmax)
+    a = jax.jit(lambda o, dd: nearest_hit(o, dd, cmin, cmax, scn, **kw))(org, dirv)
+    b = jax.jit(lambda o, dd: nearest_hit_looped(o, dd, cmin, cmax, scn, **kw))(
+        org, dirv
+    )
+    for f in a._fields:
+        assert _leaves_equal(getattr(a, f), getattr(b, f)), f
+
+
+def _render(scene, force_looped=None, spp=4, wh=24):
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(), use_pallas=False)
+    if force_looped is not None:
+        orig = r.trace_config
+
+        def tc(cfg, camera_ref=None):
+            return orig(cfg, camera_ref)._replace(looped_sweep=force_looped)
+
+        r.trace_config = tc
+    film = Film(wh, wh)
+    r.render(cam_ref, RenderConfig(samples=spp, subsample=Subsample(1)), film, seed=5)
+    return film.mean(), r
+
+
+def test_looped_render_bit_identical():
+    """Full render of a mixed sphere/box/rect scene: looped == unrolled."""
+    img_u, _ = _render(build_prim_grid(8), force_looped=False)
+    img_l, _ = _render(build_prim_grid(8), force_looped=True)
+    assert np.array_equal(img_u, img_l)
+
+
+def test_loop_policy_derivation():
+    """Renderer derives looped_sweep above the threshold, never below, and
+    keeps the megakernel off the looped path."""
+    r_small = Renderer(load_scene("scenes/cornell.json.gz"), Config())
+    assert r_small.prim_count <= LOOP_SWEEP_THRESHOLD
+    assert not r_small.trace_config(r_small.config).looped_sweep
+
+    big = build_prim_grid(LOOP_SWEEP_THRESHOLD + 8)
+    r_big = Renderer(big, Config())
+    assert r_big.prim_count > LOOP_SWEEP_THRESHOLD
+    assert r_big.trace_config(r_big.config).looped_sweep
+
+
+def test_looped_sweep_sharded_equals_single_device():
+    """The fori_loop sweep under shard_map: a (4, 2) tiles×samples mesh
+    renders the same film as one device (global RNG stream ids make the
+    per-lane values identical; only f32 summation order differs)."""
+    from bendy_tpu.parallel.mesh import make_mesh, render_pass_sharded
+    from bendy_tpu.render import render_pass
+
+    scene = build_prim_grid(LOOP_SWEEP_THRESHOLD + 8)
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(max_bounces=2))
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)
+    assert cfg.looped_sweep
+    W = H = 16
+    spp_total = 4
+
+    single, rays1 = render_pass(
+        r.arrays, cam, jnp.uint32(3), jnp.uint32(0), jnp.int32(0),
+        W, H, H, spp_total, 1, cfg, "full",
+    )
+    mesh = make_mesh(4, 2)
+    sharded, rays2 = render_pass_sharded(
+        r.arrays, cam, jnp.uint32(3), jnp.uint32(0), mesh,
+        W, H, spp_total // 2, 1, cfg, "full",
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=2e-5, atol=2e-5
+    )
+    assert float(rays1) == pytest.approx(float(rays2))
+
+
+def test_looped_prim_grid_256_matches_native_oracle():
+    """256-primitive scene through the auto-selected looped sweep vs the
+    C++ oracle's linear scan (``src/tracer/mod.rs:389-402`` semantics) —
+    a scale the unrolled sweep cannot compile in reasonable time on
+    XLA-CPU (the 66-prim unrolled body alone takes ~10-20 min there)."""
+    from bendy_tpu.native import available, oracle_render_scene
+    from bendy_tpu.ops.wavefront import trace
+    from bendy_tpu.utils.rng import render_key
+
+    if not available():
+        pytest.skip("native oracle not built")
+
+    scene = build_prim_grid(256)
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+
+    W = H = 24
+    spp = 256
+    r = Renderer(scene, Config(max_bounces=3))
+    cfg = r.trace_config(r.config, cam_ref)
+    assert cfg.looped_sweep  # 258 prims: auto policy must pick the loop
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    sub = jnp.zeros(W * H, jnp.uint32)
+    res = trace(
+        r.arrays, r.camera_params(cam_ref),
+        render_key(jnp.uint32(31), jnp.uint32(0)),
+        pix, sub, W, H, spp, 1, cfg,
+    )
+    ours = np.stack([np.asarray(c).reshape(H, W) for c in res.radiance], -1) / spp
+    ref = oracle_render_scene(scene, W, H, 256, seed=8, max_bounces=3)
+    # gates are relative to the oracle's OWN seed-to-seed spread at the
+    # same spp (glass/metal variance at 24x24 dominates any structural
+    # error; measured ceiling: rowmax 0.041, colmax 0.070, corr 0.979)
+    ref2 = oracle_render_scene(scene, W, H, 256, seed=99, max_bounces=3)
+
+    def metrics(a, b):
+        return (
+            np.abs((a - b).mean(axis=(1, 2))).max(),
+            np.abs((a - b).mean(axis=(0, 2))).max(),
+            np.corrcoef(a.mean(-1).ravel(), b.mean(-1).ravel())[0, 1],
+        )
+
+    row, col, corr = metrics(ours, ref)
+    row_c, col_c, corr_c = metrics(ref2, ref)
+    assert row < 1.5 * row_c + 0.01, (row, row_c)
+    assert col < 1.5 * col_c + 0.01, (col, col_c)
+    assert corr > corr_c - 0.01, (corr, corr_c)
+    assert abs(ours.mean() - ref.mean()) < 0.03

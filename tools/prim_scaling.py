@@ -23,15 +23,27 @@ from bendy_tpu.models.prim_grid import build_prim_grid  # noqa: E402
 from bendy_tpu.render import Config, Renderer, RenderConfig, Subsample  # noqa: E402
 
 COUNTS = (8, 16, 32, 64, 128)
+LOOPED_COUNTS = (64, 128, 256, 512)  # the fori_loop row sweep
+#   (ops/intersect.nearest_hit_looped): compile-flat, XLA path. Overlap
+#   at 64/128 measures the crossover against the unrolled megakernel.
 W = H = 256
 SPP = 64
 
 
-def measure(n: int) -> dict:
+def measure(n: int, force_looped: bool | None = None) -> dict:
     scene = build_prim_grid(n)
     cam_ref = scene.find_by_tag("camera")
     scene.get_object(cam_ref).inner.aspect_ratio = W / H
     r = Renderer(scene, Config(max_bounces=4))
+    if force_looped is not None:
+        orig = r.trace_config
+
+        def tc(cfg, camera_ref=None):
+            return orig(cfg, camera_ref)._replace(looped_sweep=force_looped)
+
+        r.trace_config = tc
+        if force_looped:
+            r.use_pallas = False  # the megakernel cannot index baked constants
     rc = RenderConfig(samples=SPP, subsample=Subsample(1))
     base = int.from_bytes(os.urandom(4), "little")
 
@@ -59,6 +71,7 @@ def measure(n: int) -> dict:
         "boxes": int(host.box_rough.shape[0]),
         "trace_rects": int(host.rct_traced.shape[0]),
         "pallas": bool(r.use_pallas),
+        "looped_sweep": bool(r.trace_config(r.config).looped_sweep),
         "compile_s": round(compile_s, 1),
         "mrays_median": round(statistics.median(mrays), 1),
         "mrays_best": round(max(mrays), 1),
@@ -68,14 +81,19 @@ def measure(n: int) -> dict:
 def main() -> None:
     rows = []
     for n in COUNTS:
-        row = measure(n)
+        row = measure(n, force_looped=False)
         rows.append(row)
+        print(row, file=sys.stderr, flush=True)
+    looped_rows = []
+    for n in LOOPED_COUNTS:
+        row = measure(n, force_looped=True)
+        looped_rows.append(row)
         print(row, file=sys.stderr, flush=True)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "prim_scaling.json")
     with open(out, "w") as f:
         json.dump({"workload": f"{W}x{H}@{SPP}spp mb=4 field scene",
-                   "rows": rows}, f, indent=2)
+                   "rows": rows, "looped_rows": looped_rows}, f, indent=2)
     print("wrote", out)
 
 
