@@ -463,6 +463,108 @@ def _manifold(
     )
 
 
+LOOP_BLOCK = 8  # primitives unrolled per fori_loop step in the looped sweep
+
+
+def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK) -> dict:
+    """Stacked [N_padded, C] primitive-row matrices for the looped sweep.
+
+    One layout definition for both builds: ``xp=jnp`` on traced scene
+    leaves (the XLA path stacks at trace time), ``xp=numpy`` on a
+    ``host_copy()`` (the megakernel ships the tables as SMEM operands —
+    scalar memory is the one space Mosaic lets a traced row id index).
+    Row counts pad up to a multiple of ``block``; column -1 is a validity
+    flag that masks pad rows' t to +inf (degenerate pad geometry could
+    otherwise produce real hits, e.g. a zero-radius sphere on an
+    exact-center ray).
+
+    Layouts (all f32; int fields are exact small ints):
+      sph: center xyz, radius, mtype, merged color rgb, rough, ior,
+           vol_grid, vol_size xyz, valid                     (15 cols)
+      rct: center xyz, x-basis xyz, y-basis xyz, z-basis xyz, hw, hh,
+           mtype, merged color rgb, rough, ior, valid        (21 cols)
+      box: slab normals (3x3 row-major), dlo xyz, dhi xyz, sgn_lo xyz,
+           sgn_hi xyz, mtype, merged color rgb, rough, ior, valid (28)
+    """
+    f32 = xp.float32
+
+    def merged_color(mtype, albedo, emitted):
+        is_em = (mtype == MAT_FLAT) | (mtype == MAT_EMISSIVE)
+        return xp.where(is_em[:, None], emitted, albedo)
+
+    def padded(rows_mat):
+        n = rows_mat.shape[0]
+        pad = (-n) % block
+        if pad:
+            rows_mat = xp.concatenate(
+                [rows_mat, xp.zeros((pad, rows_mat.shape[1]), f32)]
+            )
+        return rows_mat
+
+    col = lambda a: a.astype(f32)[:, None]  # noqa: E731
+    out = {}
+    if scn.n_spheres:
+        out["sph"] = padded(
+            xp.concatenate(
+                [
+                    scn.sph_center.astype(f32),  # 0:3
+                    col(scn.sph_radius),  # 3
+                    col(scn.sph_mtype),  # 4
+                    merged_color(scn.sph_mtype, scn.sph_albedo,
+                                 scn.sph_emitted).astype(f32),  # 5:8
+                    col(scn.sph_rough),  # 8
+                    col(scn.sph_ior),  # 9
+                    col(scn.sph_vol_grid),  # 10
+                    scn.sph_vol_size.astype(f32),  # 11:14
+                    xp.ones((scn.n_spheres, 1), f32),  # 14 valid
+                ],
+                axis=1,
+            )
+        )
+    if scn.n_trace_rects:
+        nt = scn.n_trace_rects
+        out["rct"] = padded(
+            xp.concatenate(
+                [
+                    scn.rct_center[:nt].astype(f32),  # 0:3
+                    scn.rct_x[:nt].astype(f32),  # 3:6
+                    scn.rct_y[:nt].astype(f32),  # 6:9
+                    scn.rct_z[:nt].astype(f32),  # 9:12
+                    col(scn.rct_hw[:nt]),  # 12
+                    col(scn.rct_hh[:nt]),  # 13
+                    col(scn.rct_mtype[:nt]),  # 14
+                    merged_color(scn.rct_mtype[:nt], scn.rct_albedo[:nt],
+                                 scn.rct_emitted[:nt]).astype(f32),  # 15:18
+                    col(scn.rct_rough[:nt]),  # 18
+                    col(scn.rct_ior[:nt]),  # 19
+                    xp.ones((nt, 1), f32),  # 20 valid
+                ],
+                axis=1,
+            )
+        )
+    if scn.n_boxes:
+        nb = scn.n_boxes
+        out["box"] = padded(
+            xp.concatenate(
+                [
+                    scn.box_n.reshape(nb, 9).astype(f32),  # 0:9
+                    scn.box_dlo.astype(f32),  # 9:12
+                    scn.box_dhi.astype(f32),  # 12:15
+                    scn.box_sgn_lo.astype(f32),  # 15:18
+                    scn.box_sgn_hi.astype(f32),  # 18:21
+                    col(scn.box_mtype),  # 21
+                    merged_color(scn.box_mtype, scn.box_albedo,
+                                 scn.box_emitted).astype(f32),  # 22:25
+                    col(scn.box_rough),  # 25
+                    col(scn.box_ior),  # 26
+                    xp.ones((nb, 1), f32),  # 27 valid
+                ],
+                axis=1,
+            )
+        )
+    return out
+
+
 def nearest_hit_looped(
     org: V3,
     dir: V3,
@@ -474,7 +576,8 @@ def nearest_hit_looped(
     carry_rough: bool = True,
     carry_ior: bool = True,
     carry_volumes: bool = True,
-    block: int = 8,
+    block: int = LOOP_BLOCK,
+    tables: Optional[dict] = None,
 ) -> Hit:
     """Compile-time-flat nearest hit: ``lax.fori_loop`` over primitive rows.
 
@@ -542,45 +645,49 @@ def nearest_hit_looped(
 
     end = org + dir * cmax if march is not None else None
 
-    def merged_color(mtype, albedo, emitted):
-        # row-matrix twin of _prim_color (vectorized over prims at stack
-        # time — compile-time work, not per-ray)
-        is_em = (mtype == MAT_FLAT) | (mtype == MAT_EMISSIVE)
-        return jnp.where(is_em[:, None], emitted, albedo)
+    # tables=None: stack from the traced scene leaves (XLA path).
+    # tables given: SMEM refs inside the megakernel — each column access
+    # is one scalar load (scalar memory is the one space Mosaic lets a
+    # traced row id index; a dynamic VMEM row slice does not legalize).
+    is_ref = tables is not None
+    if tables is None:
+        tables = prim_tables(scn, jnp, block)
 
-    def padded(rows_mat):
-        n = rows_mat.shape[0]
-        pad = (-n) % block
-        if pad:
-            rows_mat = jnp.concatenate(
-                [rows_mat, jnp.zeros((pad, rows_mat.shape[1]), f32)]
-            )
-        return rows_mat, (n + pad) // block
+    def row_getter(tab, base):
+        if is_ref:
+            return lambda j, c: tab[base + j, c]
+        r = jax.lax.dynamic_slice_in_dim(tab, base, block, axis=0)
+        return lambda j, c: r[j, c]
+
+    class _Cols1D:
+        """Static-index view over columns [start, start+n) of one row."""
+
+        def __init__(self, get, j, start):
+            self._g, self._j, self._s = get, j, start
+
+        def __getitem__(self, i):
+            return self._g(self._j, self._s + i)
+
+    class _Cols2D:
+        """Static-(i, m)-index view over a row-major [3,3] column span."""
+
+        def __init__(self, get, j, start):
+            self._g, self._j, self._s = get, j, start
+
+        def __getitem__(self, idx):
+            i, m = idx
+            return self._g(self._j, self._s + 3 * i + m)
 
     if has_sph:
-        rows = jnp.concatenate(
-            [
-                scn.sph_center.astype(f32),  # 0:3
-                scn.sph_radius.astype(f32)[:, None],  # 3
-                scn.sph_mtype.astype(f32)[:, None],  # 4
-                merged_color(scn.sph_mtype, scn.sph_albedo,
-                             scn.sph_emitted).astype(f32),  # 5:8
-                scn.sph_rough.astype(f32)[:, None],  # 8
-                scn.sph_ior.astype(f32)[:, None],  # 9
-                scn.sph_vol_grid.astype(f32)[:, None],  # 10
-                scn.sph_vol_size.astype(f32),  # 11:14
-                jnp.ones((scn.n_spheres, 1), f32),  # 14 valid
-            ],
-            axis=1,
-        )
-        rows, n_blocks = padded(rows)
+        tab = tables["sph"]
+        n_blocks = tab.shape[0] // block
 
         def sph_block(blk, st: _Sweep) -> _Sweep:
             base = blk * block
-            r = jax.lax.dynamic_slice_in_dim(rows, base, block, axis=0)
+            g = row_getter(tab, base)
             for j in range(block):
-                center = V3(r[j, 0], r[j, 1], r[j, 2])
-                radius = r[j, 3]
+                center = V3(g(j, 0), g(j, 1), g(j, 2))
+                radius = g(j, 3)
                 k = base + j
                 t_k = sphere_t(org, dir, cmin, cmax, center, radius)
                 int_k = i0
@@ -589,7 +696,7 @@ def nearest_hit_looped(
                     inside = (end - center).length_squared() <= radius * radius
                     int_k = (is_last & inside).astype(jnp.int32)
                     t_k = jnp.where(is_last, jnp.where(inside, cmax, t_k), t_k)
-                t_k = jnp.where(r[j, 14] > 0.0, t_k, INF)
+                t_k = jnp.where(g(j, 14) > 0.0, t_k, INF)
                 better = t_k < st.t_best
                 better_i = better.astype(jnp.int32)
                 keep_i = 1 - better_i
@@ -600,18 +707,18 @@ def nearest_hit_looped(
                     interior=st.interior * keep_i + int_k * better_i,
                     c_center=V3.where(better, center, st.c_center),
                     c_radius=jnp.where(better, radius, st.c_radius),
-                    c_mtype=jnp.where(better, r[j, 4].astype(jnp.int32), st.c_mtype),
-                    c_color=V3.where(better, V3(r[j, 5], r[j, 6], r[j, 7]), st.c_color),
+                    c_mtype=jnp.where(better, g(j, 4).astype(jnp.int32), st.c_mtype),
+                    c_color=V3.where(better, V3(g(j, 5), g(j, 6), g(j, 7)), st.c_color),
                 )
                 if carry_rough:
-                    st = st._replace(c_rough=jnp.where(better, r[j, 8], st.c_rough))
+                    st = st._replace(c_rough=jnp.where(better, g(j, 8), st.c_rough))
                 if carry_ior:
-                    st = st._replace(c_ior=jnp.where(better, r[j, 9], st.c_ior))
+                    st = st._replace(c_ior=jnp.where(better, g(j, 9), st.c_ior))
                 if carry_volumes:
                     st = st._replace(
-                        c_vgrid=jnp.where(better, r[j, 10].astype(jnp.int32), st.c_vgrid),
+                        c_vgrid=jnp.where(better, g(j, 10).astype(jnp.int32), st.c_vgrid),
                         c_vsize=V3.where(
-                            better, V3(r[j, 11], r[j, 12], r[j, 13]), st.c_vsize
+                            better, V3(g(j, 11), g(j, 12), g(j, 13)), st.c_vsize
                         ),
                     )
             return st
@@ -619,37 +726,20 @@ def nearest_hit_looped(
         st = jax.lax.fori_loop(0, n_blocks, sph_block, st)
 
     if scn.n_trace_rects > 0:
-        nt = scn.n_trace_rects
-        rows = jnp.concatenate(
-            [
-                scn.rct_center[:nt].astype(f32),  # 0:3
-                scn.rct_x[:nt].astype(f32),  # 3:6
-                scn.rct_y[:nt].astype(f32),  # 6:9
-                scn.rct_z[:nt].astype(f32),  # 9:12
-                scn.rct_hw[:nt].astype(f32)[:, None],  # 12
-                scn.rct_hh[:nt].astype(f32)[:, None],  # 13
-                scn.rct_mtype[:nt].astype(f32)[:, None],  # 14
-                merged_color(scn.rct_mtype[:nt], scn.rct_albedo[:nt],
-                             scn.rct_emitted[:nt]).astype(f32),  # 15:18
-                scn.rct_rough[:nt].astype(f32)[:, None],  # 18
-                scn.rct_ior[:nt].astype(f32)[:, None],  # 19
-                jnp.ones((nt, 1), f32),  # 20 valid
-            ],
-            axis=1,
-        )
-        rows, n_blocks = padded(rows)
+        tab = tables["rct"]
+        n_blocks = tab.shape[0] // block
 
         def rct_block(blk, st: _Sweep) -> _Sweep:
             base = blk * block
-            r = jax.lax.dynamic_slice_in_dim(rows, base, block, axis=0)
+            g = row_getter(tab, base)
             for j in range(block):
-                zb = V3(r[j, 9], r[j, 10], r[j, 11])
+                zb = V3(g(j, 9), g(j, 10), g(j, 11))
                 t_k, p_k = rect_t(
-                    org, dir, cmin, cmax, V3(r[j, 0], r[j, 1], r[j, 2]),
-                    V3(r[j, 3], r[j, 4], r[j, 5]), V3(r[j, 6], r[j, 7], r[j, 8]),
-                    zb, r[j, 12], r[j, 13],
+                    org, dir, cmin, cmax, V3(g(j, 0), g(j, 1), g(j, 2)),
+                    V3(g(j, 3), g(j, 4), g(j, 5)), V3(g(j, 6), g(j, 7), g(j, 8)),
+                    zb, g(j, 12), g(j, 13),
                 )
-                t_k = jnp.where(r[j, 20] > 0.0, t_k, INF)
+                t_k = jnp.where(g(j, 20) > 0.0, t_k, INF)
                 better = t_k < st.t_best
                 better_i = better.astype(jnp.int32)
                 keep_i = 1 - better_i
@@ -659,15 +749,15 @@ def nearest_hit_looped(
                     interior=st.interior * keep_i if has_sph else st.interior,
                     c_zb=V3.where(better, zb, st.c_zb),
                     c_p=jnp.where(better, p_k, st.c_p),
-                    c_mtype=jnp.where(better, r[j, 14].astype(jnp.int32), st.c_mtype),
+                    c_mtype=jnp.where(better, g(j, 14).astype(jnp.int32), st.c_mtype),
                     c_color=V3.where(
-                        better, V3(r[j, 15], r[j, 16], r[j, 17]), st.c_color
+                        better, V3(g(j, 15), g(j, 16), g(j, 17)), st.c_color
                     ),
                 )
                 if carry_rough:
-                    st = st._replace(c_rough=jnp.where(better, r[j, 18], st.c_rough))
+                    st = st._replace(c_rough=jnp.where(better, g(j, 18), st.c_rough))
                 if carry_ior:
-                    st = st._replace(c_ior=jnp.where(better, r[j, 19], st.c_ior))
+                    st = st._replace(c_ior=jnp.where(better, g(j, 19), st.c_ior))
                 if carry_volumes:
                     st = st._replace(c_vgrid=st.c_vgrid * keep_i - better_i)
             return st
@@ -675,34 +765,19 @@ def nearest_hit_looped(
         st = jax.lax.fori_loop(0, n_blocks, rct_block, st)
 
     if scn.n_boxes > 0:
-        nb = scn.n_boxes
-        rows = jnp.concatenate(
-            [
-                scn.box_n.reshape(nb, 9).astype(f32),  # 0:9
-                scn.box_dlo.astype(f32),  # 9:12
-                scn.box_dhi.astype(f32),  # 12:15
-                scn.box_sgn_lo.astype(f32),  # 15:18
-                scn.box_sgn_hi.astype(f32),  # 18:21
-                scn.box_mtype.astype(f32)[:, None],  # 21
-                merged_color(scn.box_mtype, scn.box_albedo,
-                             scn.box_emitted).astype(f32),  # 22:25
-                scn.box_rough.astype(f32)[:, None],  # 25
-                scn.box_ior.astype(f32)[:, None],  # 26
-                jnp.ones((nb, 1), f32),  # 27 valid
-            ],
-            axis=1,
-        )
-        rows, n_blocks = padded(rows)
+        tab = tables["box"]
+        n_blocks = tab.shape[0] // block
 
         def box_block(blk, st: _Sweep) -> _Sweep:
             base = blk * block
-            r = jax.lax.dynamic_slice_in_dim(rows, base, block, axis=0)
+            g = row_getter(tab, base)
             for j in range(block):
                 t_k, p_k, zb_k = box_t(
-                    org, dir, cmin, cmax, r[j, 0:9].reshape(3, 3),
-                    r[j, 9:12], r[j, 12:15], r[j, 15:18], r[j, 18:21],
+                    org, dir, cmin, cmax, _Cols2D(g, j, 0),
+                    _Cols1D(g, j, 9), _Cols1D(g, j, 12),
+                    _Cols1D(g, j, 15), _Cols1D(g, j, 18),
                 )
-                t_k = jnp.where(r[j, 27] > 0.0, t_k, INF)
+                t_k = jnp.where(g(j, 27) > 0.0, t_k, INF)
                 better = t_k < st.t_best
                 better_i = better.astype(jnp.int32)
                 keep_i = 1 - better_i
@@ -712,15 +787,15 @@ def nearest_hit_looped(
                     interior=st.interior * keep_i if has_sph else st.interior,
                     c_zb=V3.where(better, zb_k, st.c_zb),
                     c_p=jnp.where(better, p_k, st.c_p),
-                    c_mtype=jnp.where(better, r[j, 21].astype(jnp.int32), st.c_mtype),
+                    c_mtype=jnp.where(better, g(j, 21).astype(jnp.int32), st.c_mtype),
                     c_color=V3.where(
-                        better, V3(r[j, 22], r[j, 23], r[j, 24]), st.c_color
+                        better, V3(g(j, 22), g(j, 23), g(j, 24)), st.c_color
                     ),
                 )
                 if carry_rough:
-                    st = st._replace(c_rough=jnp.where(better, r[j, 25], st.c_rough))
+                    st = st._replace(c_rough=jnp.where(better, g(j, 25), st.c_rough))
                 if carry_ior:
-                    st = st._replace(c_ior=jnp.where(better, r[j, 26], st.c_ior))
+                    st = st._replace(c_ior=jnp.where(better, g(j, 26), st.c_ior))
                 if carry_volumes:
                     st = st._replace(c_vgrid=st.c_vgrid * keep_i - better_i)
             return st

@@ -136,11 +136,28 @@ def make_pallas_tracer(
             vol.reshape(G, D * H, W).transpose(0, 2, 1)
         )  # [G, W, D·H]
 
+    # looped sweep (large scenes): the primitive-row matrices ship as
+    # SMEM operands — scalar memory is the one space Mosaic lets a traced
+    # row id index, so the kernel keeps its launch amortization at
+    # primitive counts the baked unroll cannot compile
+    table_keys: list = []
+    tables_host: list = []
+    if cfg.looped_sweep:
+        import numpy as np
+
+        from bendy_tpu.ops.intersect import prim_tables
+
+        tabs = prim_tables(scn_host, np)
+        table_keys = sorted(tabs)
+        tables_host = [tabs[k] for k in table_keys]
+
     def kernel(pix_ref, sub_ref, cam_ref, aux_ref, *rest):
         if vol_operand:
-            grid_ref, outs = rest[0], rest[1:]
+            grid_ref, rest = rest[0], rest[1:]
         else:
-            grid_ref, outs = None, rest
+            grid_ref = None
+        tab_refs = dict(zip(table_keys, rest[: len(table_keys)]))
+        outs = rest[len(table_keys):]
         cam_vals = unpack_camera(cam_ref[:])
         key_vals = (aux_ref[0, 0], aux_ref[0, 1])
         # lanes beyond the true batch (block padding) are masked inactive:
@@ -154,6 +171,7 @@ def make_pallas_tracer(
             width, height, spp, subsample, cfg,
             spp_total=spp_total, sample0=aux_ref[0, 2], active=active,
             vol_grid_t=None if grid_ref is None else grid_ref[:],
+            prim_tables=tab_refs if table_keys else None,
         )
         vals = [
             res.radiance.x, res.radiance.y, res.radiance.z,
@@ -195,6 +213,9 @@ def make_pallas_tracer(
         if vol_operand:
             inputs.append(jnp.asarray(grid_t_host))
             in_specs.append(small())
+        for tab in tables_host:
+            inputs.append(jnp.asarray(tab))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),

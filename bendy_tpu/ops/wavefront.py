@@ -122,9 +122,10 @@ class TraceConfig(NamedTuple):
     #   lax.fori_loop over stacked rows (compile time O(1) in primitive
     #   count) instead of the static unroll (whose XLA compile grows
     #   superlinearly — docs/prim_scaling.json). The renderer derives it
-    #   for scenes above render.LOOP_SWEEP_THRESHOLD primitives; XLA path
-    #   only (the megakernel's baked-constant scene cannot be indexed by
-    #   a traced row id).
+    #   for scenes above render.LOOP_SWEEP_THRESHOLD primitives. In the
+    #   megakernel the row tables arrive as SMEM operands (prim_tables)
+    #   read with scalar loads; under plain XLA they stack from the
+    #   traced scene leaves.
 
     def max_iters(self, spp: int) -> int:
         """Loop-length safety cap: per-path worst case × samples."""
@@ -226,6 +227,7 @@ def trace_core(
     sample0=0,
     active=None,
     vol_grid_t=None,
+    prim_tables=None,
 ) -> TraceSums:
     """Trace spp samples for every (pixel, subpixel) lane; return sums.
 
@@ -242,6 +244,12 @@ def trace_core(
     ``vol_grid_t`` (megakernel only): the density-grid stack as a traced
     kernel operand, pre-transposed to [G, W, D·H] — dense grids too big
     for the baked scalar unroll (see ops.volume._density_operand).
+
+    ``prim_tables`` (megakernel only, with ``cfg.looped_sweep``): the
+    stacked primitive-row matrices as SMEM refs — the looped sweep reads
+    them with scalar loads instead of stacking from the baked scene (a
+    traced row id cannot index numpy constants). The XLA path leaves this
+    None and stacks from the scene leaves.
     """
     if cfg.regen_every < 1 or cfg.pending_check % cfg.regen_every:
         raise ValueError(
@@ -461,6 +469,7 @@ def trace_core(
                 cmin = cfg.clip_min
                 cmax = cfg.clip_max
 
+        hit_kw = {"tables": prim_tables} if cfg.looped_sweep else {}
         hit_fn = nearest_hit_looped if cfg.looped_sweep else nearest_hit
         hit = hit_fn(
             org, trace_dir, cmin, cmax, scn,
@@ -469,6 +478,7 @@ def trace_core(
             carry_rough=cfg.has_metallic or cfg.has_glass,
             carry_ior=cfg.has_glass,
             carry_volumes=cfg.has_volumes,
+            **hit_kw,
         )
 
         miss = alive & ~hit.valid

@@ -111,9 +111,11 @@ LOOP_SWEEP_THRESHOLD = 192  # primitives (spheres + traced rects + boxes)
 #   unrolled sweep's compile time grows superlinearly with the count
 #   (docs/prim_scaling.json: 4 s at 16 prims, 33 s at 128) while the
 #   looped sweep compiles in constant time; at this size the compile wall
-#   outweighs the unroll's throughput edge. Large scenes run on the XLA
-#   path (the megakernel bakes the scene as constants, which a traced row
-#   id cannot index).
+#   outweighs the unroll's throughput edge. The megakernel stays on:
+#   cfg.looped_sweep makes it ship the primitive-row tables as SMEM
+#   operands and read them with scalar loads (ops/pallas_trace.py) —
+#   baked constants cannot be indexed by a traced row id, scalar memory
+#   can. Mosaic rejections fall back to the XLA path at run time.
 
 
 def derive_regen_every(has_masses: bool, backend: str | None = None) -> int:
@@ -371,7 +373,7 @@ class Renderer:
             rows = min(rows_chunk, H - y0)
             entry = (
                 self._pallas_render_pass(W, H, rows, render_config.samples, n, tcfg, cfg)
-                if self.use_pallas and not tcfg.looped_sweep
+                if self.use_pallas
                 else None
             )
             sums = None

@@ -137,6 +137,43 @@ def test_looped_sweep_sharded_equals_single_device():
     assert float(rays1) == pytest.approx(float(rays2))
 
 
+def test_looped_megakernel_matches_xla_interpret():
+    """The looped megakernel (primitive-row tables as SMEM operands,
+    scalar loads per row) through the Pallas interpreter == the XLA
+    looped path, lane for lane. This is the CI stand-in for the Mosaic
+    build; bench.py's hardware rows cover the real chip."""
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer, pack_camera
+    from bendy_tpu.ops.wavefront import trace
+    from bendy_tpu.utils.rng import render_key
+
+    W = H = 16
+    spp = 4
+    scene = build_prim_grid(LOOP_SWEEP_THRESHOLD + 8)
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(max_bounces=3), use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)
+    assert cfg.looped_sweep
+    B = W * H
+    pix = jnp.arange(B, dtype=jnp.uint32)
+    sub = jnp.zeros(B, jnp.uint32)
+    key = render_key(jnp.uint32(7), jnp.uint32(0))
+
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(
+        r.arrays, W, H, spp, 1, cfg, block_rows=B // 128, interpret=True
+    )
+    pal = kern(pack_camera(cam), jnp.uint32(7), jnp.uint32(0), pix, sub)
+    for ch in ("x", "y", "z"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(pal.radiance, ch)),
+            np.asarray(getattr(xla.radiance, ch)),
+            rtol=5e-4, atol=1e-5,
+        )
+    assert float(pal.rays) == pytest.approx(float(xla.rays))
+
+
 def test_looped_prim_grid_256_matches_native_oracle():
     """256-primitive scene through the auto-selected looped sweep vs the
     C++ oracle's linear scan (``src/tracer/mod.rs:389-402`` semantics) —
