@@ -35,6 +35,62 @@ from bendy_tpu.scene.graph import (
 )
 
 
+def build_light_field(n_lights: int, seed: int = 11) -> Scene:
+    """A scene with ``n_lights`` LIGHT-flagged emitters (alternating
+    spheres and rects) over a diffuse ground — the light-count twin of
+    :func:`build_prim_grid`. The reference supports any light count at
+    zero compile cost (it picks one uniformly per shade,
+    ``material.rs:106-122``); our light sweeps unroll per light unless
+    ``TraceConfig.looped_sweep`` is on, so this scene characterizes and
+    gates that path (tests/test_looped_sweep.py)."""
+    rng = random.Random(seed)
+    scene = Scene()
+    env = scene.add_data(Data(Material.flat((0.0, 0.0, 0.0))))
+    scene.set_root_material(env)
+
+    side = max(1, math.ceil(math.sqrt(n_lights)))
+    pitch = 2.5
+    extent = side * pitch / 2.0
+    cam_pos = [0.0, extent * 0.9 + 2.0, extent * 2.2 + 4.0]
+    scene.add_object(
+        Object(Camera(focal_length=0.05, sensor_size=0.024, focus=None))
+        .with_tag("camera")
+        .with_transform(
+            affine_from_rotation_translation(
+                quat_from_euler_yxz(0.0, -0.35, 0.0), cam_pos
+            )
+        )
+    )
+    ground = scene.add_data(Data(Material.diffuse((0.6, 0.58, 0.55), 0.8)))
+    scene.add_object(
+        Object(Rect.from_edges(ground, [extent * 4, 0, 0], [0, 0, -extent * 4]))
+        .with_translation([0.0, 0.0, 0.0])
+    )
+    count = 0
+    for gz in range(side):
+        for gx in range(side):
+            if count >= n_lights:
+                break
+            x = (gx + 0.5) * pitch - extent
+            z = (gz + 0.5) * pitch - extent
+            tint = (1.0, rng.uniform(0.5, 1.0), rng.uniform(0.3, 1.0))
+            mat = scene.add_data(Data(Material.emissive(tint, rng.uniform(4.0, 9.0))))
+            if (gx + gz) % 2 == 0:
+                scene.add_object(
+                    Object(Sphere(material=mat, radius=0.35))
+                    .with_translation([x, rng.uniform(1.0, 2.2), z])
+                    .with_flags(ObjectFlags.LIGHT)
+                )
+            else:
+                scene.add_object(
+                    Object(Rect.from_edges(mat, [0.4, 0, 0], [0, 0, -0.4]))
+                    .with_translation([x, rng.uniform(1.0, 2.2), z])
+                    .with_flags(ObjectFlags.LIGHT)
+                )
+            count += 1
+    return scene
+
+
 def build_prim_grid(n: int, seed: int = 7) -> Scene:
     """A scene with ``n`` field primitives (spheres/cuboids alternating).
 

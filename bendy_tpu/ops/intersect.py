@@ -466,7 +466,11 @@ def _manifold(
 LOOP_BLOCK = 8  # primitives unrolled per fori_loop step in the looped sweep
 
 
-def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK) -> dict:
+LIGHT_FACE_COLS = 23  # per-face column span in the light table
+
+
+def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK,
+                kinds: tuple = ("sph", "rct", "box", "light")) -> dict:
     """Stacked [N_padded, C] primitive-row matrices for the looped sweep.
 
     One layout definition for both builds: ``xp=jnp`` on traced scene
@@ -485,6 +489,10 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK) -> dict:
            mtype, merged color rgb, rough, ior, valid        (21 cols)
       box: slab normals (3x3 row-major), dlo xyz, dhi xyz, sgn_lo xyz,
            sgn_hi xyz, mtype, merged color rgb, rough, ior, valid (28)
+      light: kind, sphere center xyz, sphere radius, then per face f:
+           center xyz, fx xyz, fy xyz, ux xyz, uy xyz, z xyz, hw, hh,
+           area, cdf, valid (23 each)        (5 + 23·F cols, unpadded —
+           the light loops run one light per fori step)
     """
     f32 = xp.float32
 
@@ -503,7 +511,7 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK) -> dict:
 
     col = lambda a: a.astype(f32)[:, None]  # noqa: E731
     out = {}
-    if scn.n_spheres:
+    if "sph" in kinds and scn.n_spheres:
         out["sph"] = padded(
             xp.concatenate(
                 [
@@ -521,7 +529,7 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK) -> dict:
                 axis=1,
             )
         )
-    if scn.n_trace_rects:
+    if "rct" in kinds and scn.n_trace_rects:
         nt = scn.n_trace_rects
         out["rct"] = padded(
             xp.concatenate(
@@ -542,7 +550,7 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK) -> dict:
                 axis=1,
             )
         )
-    if scn.n_boxes:
+    if "box" in kinds and scn.n_boxes:
         nb = scn.n_boxes
         out["box"] = padded(
             xp.concatenate(
@@ -562,6 +570,29 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK) -> dict:
                 axis=1,
             )
         )
+    if "light" in kinds and scn.n_lights:
+        L = scn.n_lights
+        F = scn.light_face_cdf.shape[1]
+        cols = [
+            col(scn.light_kind),  # 0
+            scn.light_sph_center.astype(f32),  # 1:4
+            col(scn.light_sph_radius),  # 4
+        ]
+        for fidx in range(F):  # base = 5 + 23*f
+            cols += [
+                scn.light_face_center[:, fidx].astype(f32),  # +0:3
+                scn.light_face_x[:, fidx].astype(f32),  # +3:6
+                scn.light_face_y[:, fidx].astype(f32),  # +6:9
+                scn.light_face_ux[:, fidx].astype(f32),  # +9:12
+                scn.light_face_uy[:, fidx].astype(f32),  # +12:15
+                scn.light_face_z[:, fidx].astype(f32),  # +15:18
+                col(scn.light_face_hw[:, fidx]),  # +18
+                col(scn.light_face_hh[:, fidx]),  # +19
+                col(scn.light_face_area[:, fidx]),  # +20
+                col(scn.light_face_cdf[:, fidx]),  # +21
+                col(scn.light_face_valid[:, fidx]),  # +22
+            ]
+        out["light"] = xp.concatenate(cols, axis=1)  # [L, 5+23F], unpadded
     return out
 
 
@@ -896,3 +927,68 @@ def light_pdf(
         else:  # kind unknown at trace time: generic masked select
             pdf = jnp.where(sel, jnp.where(kind == 0, pdf_sphere, pdf_rect), pdf)
     return pdf
+
+
+def light_pdf_looped(
+    org: V3,
+    dir: V3,
+    cmin: jnp.ndarray,
+    cmax: jnp.ndarray,
+    scn: SceneArrays,
+    light_idx: jnp.ndarray,
+    table=None,
+) -> jnp.ndarray:
+    """Compile-time-flat :func:`light_pdf`: ``fori_loop`` over light rows.
+
+    Same float arithmetic in the same order as the traced (non-pruned)
+    branch of the unrolled sweep, so forcing ``looped_sweep`` on a small
+    scene is bit-identical. ``table`` is a prim_tables()["light"] matrix
+    (XLA path, built here when None) or an SMEM ref (megakernel). Active
+    only with ``TraceConfig.looped_sweep`` — a scene with hundreds of
+    LIGHT-flagged objects otherwise hits the same superlinear-compile
+    wall the primitive unroll did.
+    """
+    import jax
+
+    B = org.x.shape
+    is_ref = table is not None
+    if table is None:
+        table = prim_tables(scn, jnp, kinds=("light",))["light"]
+    F = scn.light_face_cdf.shape[1]
+
+    def body(li, pdf):
+        if is_ref:
+            g = lambda c: table[li, c]  # noqa: E731
+        else:
+            row = jax.lax.dynamic_slice_in_dim(table, li, 1, axis=0)
+            g = lambda c: row[0, c]  # noqa: E731
+        sel = light_idx == li
+        kind = g(0)
+        r = g(4)
+        t_s = sphere_t(org, dir, cmin, cmax, V3(g(1), g(2), g(3)), r)
+        pdf_sphere = jnp.where(jnp.isfinite(t_s), t_s * t_s / (jnp.pi * r * r), 0.0)
+
+        t_b = jnp.full(B, INF, org.x.dtype)
+        q_b = jnp.ones(B, org.x.dtype)
+        area_b = jnp.ones(B, org.x.dtype)
+        for f in range(F):
+            base = 5 + LIGHT_FACE_COLS * f
+            zb = V3(g(base + 15), g(base + 16), g(base + 17))
+            t_f, _ = rect_t(
+                org, dir, cmin, cmax,
+                V3(g(base + 0), g(base + 1), g(base + 2)),
+                V3(g(base + 9), g(base + 10), g(base + 11)),  # ux
+                V3(g(base + 12), g(base + 13), g(base + 14)),  # uy
+                zb, g(base + 18), g(base + 19),
+            )
+            t_f = jnp.where(g(base + 22) > 0.0, t_f, INF)
+            better = t_f < t_b
+            t_b = jnp.where(better, t_f, t_b)
+            q_b = jnp.where(better, dir.dot(zb), q_b)
+            area_b = jnp.where(better, g(base + 20), area_b)
+        pdf_rect = jnp.where(
+            jnp.isfinite(t_b), t_b * t_b / (area_b * jnp.abs(q_b)), 0.0
+        )
+        return jnp.where(sel, jnp.where(kind == 0, pdf_sphere, pdf_rect), pdf)
+
+    return jax.lax.fori_loop(0, scn.n_lights, body, jnp.zeros(B, org.x.dtype))

@@ -34,7 +34,15 @@ from typing import NamedTuple, Sequence
 import jax.numpy as jnp
 
 from bendy_tpu.ops import distr
-from bendy_tpu.ops.intersect import FACE_FRONT, FACE_VOLUME_FRONT, Hit, light_pdf, row3
+from bendy_tpu.ops.intersect import (
+    FACE_FRONT,
+    FACE_VOLUME_FRONT,
+    LIGHT_FACE_COLS,
+    Hit,
+    light_pdf,
+    light_pdf_looped,
+    row3,
+)
 from bendy_tpu.scene.compiler import (
     MAT_DIFFUSE,
     MAT_GLASS,
@@ -121,6 +129,66 @@ def sample_light_point(scn: SceneArrays, light_idx: jnp.ndarray,
     return out
 
 
+def sample_light_point_looped(
+    scn: SceneArrays,
+    light_idx: jnp.ndarray,
+    u_a: jnp.ndarray,
+    u_b: jnp.ndarray,
+    u_face: jnp.ndarray,
+    table=None,
+) -> V3:
+    """Compile-time-flat :func:`sample_light_point`: fori_loop over light
+    rows (prim_tables()["light"]; SMEM ref inside the megakernel). Same
+    float arithmetic in the same order as the traced (non-pruned) branch
+    of the unrolled sweep — forcing ``looped_sweep`` on a small scene is
+    bit-identical. See :func:`bendy_tpu.ops.intersect.light_pdf_looped`
+    for why: many-LIGHT scenes otherwise hit the unroll's superlinear
+    compile wall.
+    """
+    import jax
+
+    from bendy_tpu.ops.intersect import prim_tables
+
+    B = u_a.shape
+    is_ref = table is not None
+    if table is None:
+        table = prim_tables(scn, jnp, kinds=("light",))["light"]
+    F = scn.light_face_cdf.shape[1]
+    usphere = distr.unit_sphere(u_a, u_b)
+
+    def body(li, out):
+        if is_ref:
+            g = lambda c: table[li, c]  # noqa: E731
+        else:
+            row = jax.lax.dynamic_slice_in_dim(table, li, 1, axis=0)
+            g = lambda c: row[0, c]  # noqa: E731
+        sel = light_idx == li
+        p_sphere = V3(g(1), g(2), g(3)) + usphere * g(4)
+
+        remaining = jnp.ones(B, bool)
+        p_rect = V3.zeros(B)
+        for f in range(F):
+            base = 5 + LIGHT_FACE_COLS * f
+            cdf = g(base + 21)
+            pick = remaining & (u_face < cdf) & (g(base + 22) > 0.0)
+            remaining = remaining & ~pick
+            x = (u_a * 2.0 - 1.0) * g(base + 18)
+            y = (u_b * 2.0 - 1.0) * g(base + 19)
+            p_f = caxpy(
+                caxpy(
+                    V3(g(base + 0), g(base + 1), g(base + 2)),
+                    V3(g(base + 3), g(base + 4), g(base + 5)),  # fx
+                    x,
+                ),
+                V3(g(base + 6), g(base + 7), g(base + 8)),  # fy
+                y,
+            )
+            p_rect = V3.where(pick, p_f, p_rect)
+        return V3.where(sel, V3.where(g(0) == 0, p_sphere, p_rect), out)
+
+    return jax.lax.fori_loop(0, scn.n_lights, body, V3.zeros(B))
+
+
 def shade_surface(
     dir_in: V3,
     hit: Hit,
@@ -131,6 +199,8 @@ def shade_surface(
     has_diffuse: bool = True,
     has_metallic: bool = True,
     has_glass: bool = True,
+    looped_lights: bool = False,
+    light_table=None,
 ) -> Shade:
     """Shade surface-face lanes; volume faces are handled by ops.volume.
 
@@ -160,13 +230,25 @@ def shade_surface(
         light_idx = jnp.clip(scaled.astype(jnp.int32), 0, nl - 1)
         u_face = scaled - jnp.floor(scaled)  # independent uniform given the pick
         d_cos = distr.cosine_hemisphere(n, u[2], u[3])
-        lp = sample_light_point(scn, light_idx, u[4], u[5], u_face)
+        # looped_lights (rides TraceConfig.looped_sweep): fori_loop light
+        # sweeps — compile-time flat in the light count, bit-identical
+        if looped_lights:
+            lp = sample_light_point_looped(
+                scn, light_idx, u[4], u[5], u_face, table=light_table
+            )
+        else:
+            lp = sample_light_point(scn, light_idx, u[4], u[5], u_face)
         d_light = (lp - pos).normalize()
         # gen_bool(0.5) picks the light branch (``material.rs:269-274`` with x=0.5)
         pick_light = u[1] < 0.5
         d_diff = V3.where(pick_light, d_light, d_cos)
         pdf_cos = n.dot(d_diff) * (1.0 / jnp.pi)  # signed (``material.rs:301-303``)
-        pdf_light = light_pdf(pos, d_diff, cmin, cmax, scn, light_idx)
+        if looped_lights:
+            pdf_light = light_pdf_looped(
+                pos, d_diff, cmin, cmax, scn, light_idx, table=light_table
+            )
+        else:
+            pdf_light = light_pdf(pos, d_diff, cmin, cmax, scn, light_idx)
         pdf_mix = pdf_cos + (pdf_light - pdf_cos) * 0.5  # lerp(a,b,0.5) (``material.rs:294-297``)
         absorbed = jnp.abs(pdf_mix) <= 1e-5  # (``material.rs:279-286``)
         pdf_mix_safe = jnp.where(absorbed, 1.0, pdf_mix)

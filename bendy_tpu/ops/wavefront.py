@@ -496,6 +496,8 @@ def trace_core(
             trace_dir, hit, scn, u, cfg.clip_min, cfg.clip_max,
             has_diffuse=cfg.has_diffuse, has_metallic=cfg.has_metallic,
             has_glass=cfg.has_glass,
+            looped_lights=cfg.looped_sweep,
+            light_table=None if prim_tables is None else prim_tables.get("light"),
         )
         env_color, env_alb, env_nrm, env_dep = _env_terms(scn, trace_dir, cfg.clip_max)
 
