@@ -937,6 +937,7 @@ def light_pdf_looped(
     scn: SceneArrays,
     light_idx: jnp.ndarray,
     table=None,
+    table_is_ref: bool = False,
 ) -> jnp.ndarray:
     """Compile-time-flat :func:`light_pdf`: ``fori_loop`` over light rows.
 
@@ -951,7 +952,7 @@ def light_pdf_looped(
     import jax
 
     B = org.x.shape
-    is_ref = table is not None
+    is_ref = table_is_ref
     if table is None:
         table = prim_tables(scn, jnp, kinds=("light",))["light"]
     F = scn.light_face_cdf.shape[1]

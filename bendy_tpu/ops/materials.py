@@ -136,6 +136,7 @@ def sample_light_point_looped(
     u_b: jnp.ndarray,
     u_face: jnp.ndarray,
     table=None,
+    table_is_ref: bool = False,
 ) -> V3:
     """Compile-time-flat :func:`sample_light_point`: fori_loop over light
     rows (prim_tables()["light"]; SMEM ref inside the megakernel). Same
@@ -150,7 +151,7 @@ def sample_light_point_looped(
     from bendy_tpu.ops.intersect import prim_tables
 
     B = u_a.shape
-    is_ref = table is not None
+    is_ref = table_is_ref
     if table is None:
         table = prim_tables(scn, jnp, kinds=("light",))["light"]
     F = scn.light_face_cdf.shape[1]
@@ -232,9 +233,15 @@ def shade_surface(
         d_cos = distr.cosine_hemisphere(n, u[2], u[3])
         # looped_lights (rides TraceConfig.looped_sweep): fori_loop light
         # sweeps — compile-time flat in the light count, bit-identical
+        table_is_ref = light_table is not None  # refs only arrive from the kernel
+        if looped_lights and light_table is None:
+            from bendy_tpu.ops.intersect import prim_tables
+
+            light_table = prim_tables(scn, jnp, kinds=("light",))["light"]
         if looped_lights:
             lp = sample_light_point_looped(
-                scn, light_idx, u[4], u[5], u_face, table=light_table
+                scn, light_idx, u[4], u[5], u_face, table=light_table,
+                table_is_ref=table_is_ref,
             )
         else:
             lp = sample_light_point(scn, light_idx, u[4], u[5], u_face)
@@ -245,7 +252,8 @@ def shade_surface(
         pdf_cos = n.dot(d_diff) * (1.0 / jnp.pi)  # signed (``material.rs:301-303``)
         if looped_lights:
             pdf_light = light_pdf_looped(
-                pos, d_diff, cmin, cmax, scn, light_idx, table=light_table
+                pos, d_diff, cmin, cmax, scn, light_idx, table=light_table,
+                table_is_ref=table_is_ref,
             )
         else:
             pdf_light = light_pdf(pos, d_diff, cmin, cmax, scn, light_idx)
