@@ -92,6 +92,16 @@ def test_looped_render_bit_identical():
     assert np.array_equal(img_u, img_l)
 
 
+@pytest.mark.parametrize("name", ["volume", "blackhole"])
+def test_looped_render_bit_identical_modes(name):
+    """Looped sweep under the other mode machines: the volume march
+    (last_sphere re-test rides the sphere loop's traced row ids) and the
+    geodesic chord stepping (clip interplay) — full renders bit-equal."""
+    img_u, _ = _render(load_scene(f"scenes/{name}.json.gz"), force_looped=False)
+    img_l, _ = _render(load_scene(f"scenes/{name}.json.gz"), force_looped=True)
+    assert np.array_equal(img_u, img_l)
+
+
 def test_loop_policy_derivation():
     """Renderer derives looped_sweep above the threshold, never below, and
     keeps the megakernel off the looped path."""
