@@ -609,6 +609,7 @@ def nearest_hit_looped(
     carry_volumes: bool = True,
     block: int = LOOP_BLOCK,
     tables: Optional[dict] = None,
+    tables_are_refs: bool = False,
 ) -> Hit:
     """Compile-time-flat nearest hit: ``lax.fori_loop`` over primitive rows.
 
@@ -677,10 +678,11 @@ def nearest_hit_looped(
     end = org + dir * cmax if march is not None else None
 
     # tables=None: stack from the traced scene leaves (XLA path).
-    # tables given: SMEM refs inside the megakernel — each column access
-    # is one scalar load (scalar memory is the one space Mosaic lets a
-    # traced row id index; a dynamic VMEM row slice does not legalize).
-    is_ref = tables is not None
+    # tables_are_refs: SMEM refs inside the megakernel — each column
+    # access is one scalar load (scalar memory is the one space Mosaic
+    # lets a traced row id index; a dynamic VMEM row slice does not
+    # legalize).
+    is_ref = tables_are_refs
     if tables is None:
         tables = prim_tables(scn, jnp, block)
 

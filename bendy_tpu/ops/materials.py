@@ -202,6 +202,7 @@ def shade_surface(
     has_glass: bool = True,
     looped_lights: bool = False,
     light_table=None,
+    light_table_is_ref: bool = False,
 ) -> Shade:
     """Shade surface-face lanes; volume faces are handled by ops.volume.
 
@@ -233,7 +234,7 @@ def shade_surface(
         d_cos = distr.cosine_hemisphere(n, u[2], u[3])
         # looped_lights (rides TraceConfig.looped_sweep): fori_loop light
         # sweeps — compile-time flat in the light count, bit-identical
-        table_is_ref = light_table is not None  # refs only arrive from the kernel
+        table_is_ref = light_table_is_ref
         if looped_lights and light_table is None:
             from bendy_tpu.ops.intersect import prim_tables
 

@@ -261,6 +261,14 @@ def trace_core(
     n = max(subsample, 1)
     nn = n * n
     geo = cfg.geo or _DEFAULT_GEO
+    # hoist the looped-sweep tables out of the loop body: built once here
+    # from the traced scene leaves (the megakernel passes SMEM refs in
+    # instead — never both)
+    tables_are_refs = prim_tables is not None
+    if cfg.looped_sweep and prim_tables is None:
+        from bendy_tpu.ops.intersect import prim_tables as _prim_tables
+
+        prim_tables = _prim_tables(scn, jnp)
     if spp_total is None:
         spp_total = spp
     sample0 = jnp.asarray(sample0, jnp.uint32)
@@ -469,7 +477,11 @@ def trace_core(
                 cmin = cfg.clip_min
                 cmax = cfg.clip_max
 
-        hit_kw = {"tables": prim_tables} if cfg.looped_sweep else {}
+        hit_kw = (
+            {"tables": prim_tables, "tables_are_refs": tables_are_refs}
+            if cfg.looped_sweep
+            else {}
+        )
         hit_fn = nearest_hit_looped if cfg.looped_sweep else nearest_hit
         hit = hit_fn(
             org, trace_dir, cmin, cmax, scn,
@@ -498,6 +510,7 @@ def trace_core(
             has_glass=cfg.has_glass,
             looped_lights=cfg.looped_sweep,
             light_table=None if prim_tables is None else prim_tables.get("light"),
+            light_table_is_ref=tables_are_refs,
         )
         env_color, env_alb, env_nrm, env_dep = _env_terms(scn, trace_dir, cfg.clip_max)
 
