@@ -70,6 +70,9 @@ def timed_render(scene, width, height, samples, subsample, config=Config(),
         "median": statistics.median(mrays),
         "seconds_best": min(secs),
         "seconds_median": statistics.median(secs),
+        # False when Mosaic rejected the megakernel and the run fell back
+        # to the XLA path (the artifact should say which path it measured)
+        "pallas": r.use_pallas,
     }
 
 
@@ -208,6 +211,16 @@ def main() -> None:
         )
         results["blackhole_cloud"] = row(rr)
         print(f"blackhole_cloud: {rr['median']:.1f} Mrays/s median "
+              f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
+        # large-scene looped sweep (auto policy: 258 prims > threshold).
+        # Covers the SMEM-table megakernel on real Mosaic — or, if it
+        # rejects there, the XLA fallback; record which path ran.
+        from bendy_tpu.models.prim_grid import build_prim_grid
+
+        rr = timed_render(build_prim_grid(256), 256, 256, 16, 1,
+                          Config(max_bounces=4), passes=4)
+        results["prim_grid_256_looped"] = dict(row(rr), pallas=rr["pallas"])
+        print(f"prim_grid_256 (looped sweep): {rr['median']:.1f} Mrays/s median "
               f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
         # sharded megakernel on a (1,1) mesh: proves the SPMD Mosaic
         # kernel (shard_map + pallas_call) compiles and runs on real TPU
