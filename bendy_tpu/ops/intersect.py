@@ -628,9 +628,10 @@ def nearest_hit_looped(
     column masks their t to +inf (degenerate pad geometry may otherwise
     produce real hits, e.g. a zero-radius sphere on an exact-center ray).
 
-    Not available inside the Pallas megakernel: the baked-constant scene
-    there cannot be indexed by a traced row id (the renderer keeps large
-    scenes on the XLA path, where compile time is the binding constraint).
+    Inside the Pallas megakernel the ``tables`` arrive as SMEM operands
+    (``tables_are_refs=True``) and every column access is a scalar load —
+    the baked-constant scene cannot be indexed by a traced row id, but
+    scalar memory can (ops/pallas_trace.py ships them).
     """
     import jax
 
