@@ -69,10 +69,10 @@ def test_nearest_hit_looped_bit_identical(name, march):
         assert _leaves_equal(getattr(a, f), getattr(b, f)), f
 
 
-def _render(scene, force_looped=None, spp=4, wh=24):
+def _render(scene, force_looped=None, spp=4, wh=24, config=None):
     cam_ref = scene.find_by_tag("camera")
     scene.get_object(cam_ref).inner.aspect_ratio = 1.0
-    r = Renderer(scene, Config(), use_pallas=False)
+    r = Renderer(scene, config or Config(), use_pallas=False)
     if force_looped is not None:
         orig = r.trace_config
 
@@ -89,6 +89,18 @@ def test_looped_render_bit_identical():
     """Full render of a mixed sphere/box/rect scene: looped == unrolled."""
     img_u, _ = _render(build_prim_grid(8), force_looped=False)
     img_l, _ = _render(build_prim_grid(8), force_looped=True)
+    assert np.array_equal(img_u, img_l)
+
+
+@pytest.mark.parametrize("channel", ["albedo", "normal", "depth"])
+def test_looped_render_bit_identical_aovs(channel):
+    """AOV channels through the looped sweep (the claim pipeline reads
+    Hit fields the sweep carries): looped == unrolled, bit for bit."""
+    from bendy_tpu.render import Output
+
+    cfgo = Config(output=Output(channel))
+    img_u, _ = _render(build_prim_grid(8), force_looped=False, config=cfgo)
+    img_l, _ = _render(build_prim_grid(8), force_looped=True, config=cfgo)
     assert np.array_equal(img_u, img_l)
 
 
