@@ -184,6 +184,54 @@ def test_many_lights_render():
     assert img.mean() > 0.0  # lights actually illuminate the ground
 
 
+def test_multi_light_matches_native_oracle():
+    """16 LIGHT-flagged emitters (mixed spheres and rects): the uniform
+    light pick + per-light mixture pdf (``material.rs:106-137``) against
+    the C++ oracle. Every bundled scene has exactly one light, so this is
+    the only gate on the L>1 estimator — it runs the normal unrolled
+    path (17 prims), and the looped path is pinned bit-identical to it
+    by test_looped_lights_bit_identical."""
+    from bendy_tpu.models.prim_grid import build_light_field
+    from bendy_tpu.native import available, oracle_render_scene
+    from bendy_tpu.ops.wavefront import trace
+    from bendy_tpu.utils.rng import render_key
+
+    if not available():
+        pytest.skip("native oracle not built")
+
+    scene = build_light_field(16)
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    W = H = 24
+    spp = 192
+    r = Renderer(scene, Config(max_bounces=3))
+    cfg = r.trace_config(r.config, cam_ref)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    sub = jnp.zeros(W * H, jnp.uint32)
+    res = trace(
+        r.arrays, r.camera_params(cam_ref),
+        render_key(jnp.uint32(5), jnp.uint32(0)),
+        pix, sub, W, H, spp, 1, cfg,
+    )
+    ours = np.stack([np.asarray(c).reshape(H, W) for c in res.radiance], -1) / spp
+    ref = oracle_render_scene(scene, W, H, 192, seed=21, max_bounces=3)
+    ref2 = oracle_render_scene(scene, W, H, 192, seed=77, max_bounces=3)
+
+    def metrics(a, b):
+        return (
+            np.abs((a - b).mean(axis=(1, 2))).max(),
+            np.abs((a - b).mean(axis=(0, 2))).max(),
+            np.corrcoef(a.mean(-1).ravel(), b.mean(-1).ravel())[0, 1],
+        )
+
+    row, col, corr = metrics(ours, ref)
+    row_c, col_c, corr_c = metrics(ref2, ref)
+    assert row < 1.5 * row_c + 0.01, (row, row_c)
+    assert col < 1.5 * col_c + 0.01, (col, col_c)
+    assert corr > corr_c - 0.01, (corr, corr_c)
+    assert abs(ours.mean() - ref.mean()) < 0.03
+
+
 def test_looped_megakernel_matches_xla_interpret():
     """The looped megakernel (primitive-row tables as SMEM operands,
     scalar loads per row) through the Pallas interpreter == the XLA
