@@ -469,7 +469,7 @@ LOOP_BLOCK = 8  # primitives unrolled per fori_loop step in the looped sweep
 LIGHT_FACE_COLS = 23  # per-face column span in the light table
 
 
-def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK,
+def prim_tables(scn: SceneArrays, xp=jnp, block: int | None = None,
                 kinds: tuple = ("sph", "rct", "box", "light")) -> dict:
     """Stacked [N_padded, C] primitive-row matrices for the looped sweep.
 
@@ -494,6 +494,8 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int = LOOP_BLOCK,
            area, cdf, valid (23 each)        (5 + 23·F cols, unpadded —
            the light loops run one light per fori step)
     """
+    if block is None:
+        block = LOOP_BLOCK  # late-bound: tools can tune the module knob
     f32 = xp.float32
 
     def merged_color(mtype, albedo, emitted):
@@ -607,7 +609,7 @@ def nearest_hit_looped(
     carry_rough: bool = True,
     carry_ior: bool = True,
     carry_volumes: bool = True,
-    block: int = LOOP_BLOCK,
+    block: int | None = None,
     tables: Optional[dict] = None,
     tables_are_refs: bool = False,
 ) -> Hit:
@@ -635,6 +637,8 @@ def nearest_hit_looped(
     """
     import jax
 
+    if block is None:
+        block = LOOP_BLOCK  # late-bound: tools can tune the module knob
     B = org.x.shape
     f32 = org.x.dtype
     zero = jnp.zeros(B, f32)
