@@ -110,8 +110,11 @@ LOOP_SWEEP_THRESHOLD = 192  # primitives (spheres + traced rects + boxes)
 #   for the fori_loop row sweep (ops/intersect.nearest_hit_looped). The
 #   unrolled sweep's compile time grows superlinearly with the count
 #   (docs/prim_scaling.json: 4 s at 16 prims, 33 s at 128) while the
-#   looped sweep compiles in constant time; at this size the compile wall
-#   outweighs the unroll's throughput edge. The megakernel stays on:
+#   looped sweep compiles in constant time. 192 is provisional (set from
+#   the compile-time curve: ~1 min unrolled at this size and growing
+#   superlinearly); tools/prim_scaling.py measures both paths at 64-512
+#   prims on hardware — re-derive the crossover from its looped_rows when
+#   refreshing docs/prim_scaling.json. The megakernel stays on:
 #   cfg.looped_sweep makes it ship the primitive-row tables as SMEM
 #   operands and read them with scalar loads (ops/pallas_trace.py) —
 #   baked constants cannot be indexed by a traced row id, scalar memory
