@@ -184,6 +184,52 @@ def test_many_lights_render():
     assert img.mean() > 0.0  # lights actually illuminate the ground
 
 
+def test_looped_megakernel_with_dense_grid_operand():
+    """vol_operand (density grid as a VMEM operand) and looped tables
+    (SMEM operands) shipped into the SAME kernel: exercises the input
+    ordering in make_pallas_tracer's rest-parsing. Interpret mode vs the
+    XLA looped trace."""
+    from bendy_tpu.models.dense_cloud import blob_density
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer, pack_camera
+    from bendy_tpu.ops.wavefront import trace
+    from bendy_tpu.scene.graph import Data, Material, Object, Sphere
+    from bendy_tpu.utils.rng import render_key
+
+    scene = build_prim_grid(LOOP_SWEEP_THRESHOLD + 8)
+    vol = scene.add_data(Data(blob_density(8)))
+    mat = scene.add_data(Data(Material.diffuse((0.7, 0.7, 0.7), 0.8)))
+    scene.add_object(
+        Object(Sphere(material=mat, radius=1.2, volume=vol))
+        .with_translation([0.0, 2.5, 0.0])
+    )
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(max_bounces=2), use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)
+    assert cfg.looped_sweep and cfg.has_volumes
+
+    W = H = 16
+    spp = 2
+    B = W * H
+    pix = jnp.arange(B, dtype=jnp.uint32)
+    sub = jnp.zeros(B, jnp.uint32)
+    xla = trace(r.arrays, cam, render_key(jnp.uint32(3), jnp.uint32(0)),
+                pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(
+        r.arrays, W, H, spp, 1, cfg, block_rows=B // 128, interpret=True,
+        vol_operand=True,
+    )
+    pal = kern(pack_camera(cam), jnp.uint32(3), jnp.uint32(0), pix, sub)
+    for ch in ("x", "y", "z"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(pal.radiance, ch)),
+            np.asarray(getattr(xla.radiance, ch)),
+            rtol=5e-4, atol=1e-5,
+        )
+    assert float(pal.rays) == pytest.approx(float(xla.rays))
+
+
 def test_multi_light_matches_native_oracle():
     """16 LIGHT-flagged emitters (mixed spheres and rects): the uniform
     light pick + per-light mixture pdf (``material.rs:106-137``) against
