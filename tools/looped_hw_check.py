@@ -1,0 +1,101 @@
+"""Hardware validation of the looped (SMEM-table) megakernel.
+
+Interpret-mode CI (tests/test_looped_sweep.py) proves the kernel's
+semantics; this script proves the real Mosaic build: compile + run the
+looped megakernel on the TPU for a 258-primitive scene, cross-check it
+against the XLA looped trace, and sweep the LOOP_BLOCK unroll factor.
+
+Run (tunnel up):  python3 tools/looped_hw_check.py [--sweep]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def mosaic_check() -> bool:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bendy_tpu.models.prim_grid import build_prim_grid
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer, pack_camera
+    from bendy_tpu.ops.wavefront import trace as xla_trace
+    from bendy_tpu.render import Config, Renderer
+    from bendy_tpu.utils.rng import render_key
+
+    r = Renderer(build_prim_grid(256), Config(max_bounces=3), use_pallas=False)
+    cam_ref = r.scene.find_by_tag("camera")
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config, cam_ref)
+    assert cfg.looped_sweep
+    W = H = 64
+    B = W * H
+    pix = jnp.arange(B, dtype=jnp.uint32)
+    sub = jnp.zeros(B, jnp.uint32)
+    try:
+        kern = make_pallas_tracer(r.arrays, W, H, 4, 1, cfg)
+        t0 = time.time()
+        pal = kern(pack_camera(cam), jnp.uint32(9), jnp.uint32(0), pix, sub)
+        jax.block_until_ready(pal.radiance.x)
+        print(f"looped megakernel Mosaic OK: compile+run {time.time() - t0:.1f}s",
+              flush=True)
+    except Exception as e:  # pragma: no cover - device-dependent
+        print(f"looped megakernel REJECTED on hardware: "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+        return False
+    xla = xla_trace(r.arrays, cam, render_key(jnp.uint32(9), jnp.uint32(0)),
+                    pix, sub, W, H, 4, 1, cfg)
+    err = np.abs(np.asarray(pal.radiance.x) - np.asarray(xla.radiance.x))
+    rel = err / (np.abs(np.asarray(xla.radiance.x)) + 1e-5)
+    print(f"looped megakernel vs XLA: max abs {err.max():.2e} "
+          f"max rel {rel.max():.2e}", flush=True)
+    return bool(rel.max() < 5e-3)
+
+
+def block_sweep() -> None:
+    """Mrays/s of prim_grid(256) for LOOP_BLOCK in (4, 8, 16, 32)."""
+    import bendy_tpu.ops.intersect as intersect
+    from bendy_tpu.film import DeviceFilm
+    from bendy_tpu.models.prim_grid import build_prim_grid
+    from bendy_tpu.render import Config, Renderer, RenderConfig, Subsample
+
+    for blk in (4, 8, 16, 32):
+        intersect.LOOP_BLOCK = blk  # late-bound by prim_tables/nearest_hit_looped
+        scene = build_prim_grid(256)
+        cam_ref = scene.find_by_tag("camera")
+        scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+        r = Renderer(scene, Config(max_bounces=4))
+        rc = RenderConfig(samples=16, subsample=Subsample(1))
+        base = int.from_bytes(os.urandom(4), "little")
+        t0 = time.time()
+        film = DeviceFilm(256, 256)
+        r.render(cam_ref, rc, film, seed=base)
+        film.block_until_ready()
+        compile_s = time.time() - t0
+        float(r.rays_traced)
+        mrays = []
+        for i in range(5):
+            film = DeviceFilm(256, 256)
+            r.rays_traced = 0.0
+            t0 = time.time()
+            for p in range(4):
+                r.render(cam_ref, rc, film, seed=base + 1 + 4 * i + p)
+            film.block_until_ready()
+            mrays.append(r.rays_traced / (time.time() - t0) / 1e6)
+        print(f"LOOP_BLOCK={blk}: compile {compile_s:.1f}s, "
+              f"median {statistics.median(mrays):.1f} best {max(mrays):.1f} "
+              f"Mrays/s, pallas={r.use_pallas}", flush=True)
+    intersect.LOOP_BLOCK = 8
+
+
+if __name__ == "__main__":
+    ok = mosaic_check()
+    if "--sweep" in sys.argv:
+        block_sweep()
+    sys.exit(0 if ok else 1)
