@@ -42,8 +42,10 @@ def measure(n: int, force_looped: bool | None = None) -> dict:
             return orig(cfg, camera_ref)._replace(looped_sweep=force_looped)
 
         r.trace_config = tc
-        if force_looped:
-            r.use_pallas = False  # the megakernel cannot index baked constants
+        # the looped sweep stays in the megakernel: prim_tables() ships the
+        # primitive-row matrices as SMEM operands (ops/pallas_trace.py); a
+        # Mosaic rejection falls back to the XLA looped path at run time
+        # and the row records which one ran via its "pallas" field.
     rc = RenderConfig(samples=SPP, subsample=Subsample(1))
     base = int.from_bytes(os.urandom(4), "little")
 
