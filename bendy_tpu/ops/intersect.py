@@ -463,7 +463,10 @@ def _manifold(
     )
 
 
-LOOP_BLOCK = 8  # primitives unrolled per fori_loop step in the looped sweep
+LOOP_BLOCK = 8  # primitives unrolled per fori_loop step in the looped sweep.
+#   Hardware-swept (tools/looped_hw_check.py --sweep, docs/looped_hw.json,
+#   258-prim scene): 8 wins (48.0 Mrays/s) over 4 (45.1 — under-amortizes
+#   the dynamic_slice loads), 16 (46.4) and 32 (45.8 — vreg pressure).
 
 
 LIGHT_FACE_COLS = 23  # per-face column span in the light table
