@@ -109,12 +109,18 @@ LOOP_SWEEP_THRESHOLD = 192  # primitives (spheres + traced rects + boxes)
 #   above which the renderer swaps the statically-unrolled primitive sweep
 #   for the fori_loop row sweep (ops/intersect.nearest_hit_looped). The
 #   unrolled sweep's compile time grows superlinearly with the count
-#   (docs/prim_scaling.json: 4 s at 16 prims, 33 s at 128) while the
-#   looped sweep compiles in constant time. 192 is provisional (set from
-#   the compile-time curve: ~1 min unrolled at this size and growing
-#   superlinearly); tools/prim_scaling.py measures both paths at 64-512
-#   prims on hardware — re-derive the crossover from its looped_rows when
-#   refreshing docs/prim_scaling.json. The megakernel stays on:
+#   (docs/prim_scaling.json, on-chip: 17.6 s at 32 prims, 37.5 at 64,
+#   49 at 128) while the looped sweep compiles in constant ~13 s. Both
+#   paths were measured head-to-head on hardware (tools/prim_scaling.py,
+#   64-512 prims, both in the megakernel): the looped sweep holds
+#   ~73-77% of the unrolled throughput at equal count, so there is NO
+#   throughput crossover — the threshold trades compile latency for
+#   steady-state speed. 192 keeps every bundled scene and any
+#   interactive-scale scene on the fast unroll (<~1 min compile) and
+#   moves scenes whose unrolled compile would exceed minutes (and
+#   XLA-CPU's ~20 min at 66 prims) onto the flat-compile loop. Raise it
+#   if long renders dominate; lower it for edit-compile-render loops.
+#   The megakernel stays on:
 #   cfg.looped_sweep makes it ship the primitive-row tables as SMEM
 #   operands and read them with scalar loads (ops/pallas_trace.py) —
 #   baked constants cannot be indexed by a traced row id, scalar memory
