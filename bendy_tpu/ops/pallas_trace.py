@@ -114,10 +114,11 @@ def make_pallas_tracer(
     CPU mesh without Mosaic.
 
     ``vol_operand=True`` ships the density-grid stack into the kernel as
-    a VMEM operand (pre-transposed [G, W, D·H]) and evaluates trilinear
-    lookups as in-kernel MXU contractions instead of the baked scalar
-    unroll — the dense-grid path (see ops.volume._density_operand). The
-    renderer selects it by nonzero-cell count.
+    a VMEM operand (a brick table, see ops.volume.pack_vol_operand) and
+    evaluates trilinear lookups as in-kernel MXU contractions instead of
+    the baked scalar unroll — the dense-grid path (see
+    ops.volume._density_operand). The renderer selects it by
+    nonzero-cell count.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -128,13 +129,9 @@ def make_pallas_tracer(
 
     grid_t_host = None
     if vol_operand:
-        import numpy as np
+        from bendy_tpu.ops.volume import pack_vol_operand
 
-        vol = np.asarray(scn_host.vol_grid)  # [G, D, H, W]
-        G, D, H, W = vol.shape
-        grid_t_host = np.ascontiguousarray(
-            vol.reshape(G, D * H, W).transpose(0, 2, 1)
-        )  # [G, W, D·H]
+        grid_t_host = pack_vol_operand(scn_host.vol_grid)  # brick table
 
     # looped sweep (large scenes): the primitive-row matrices ship as
     # SMEM operands — scalar memory is the one space Mosaic lets a traced

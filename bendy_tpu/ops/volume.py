@@ -31,6 +31,49 @@ from bendy_tpu.scene.compiler import SceneArrays
 from bendy_tpu.utils.v3 import V3
 
 
+VOL_BRICK = 4  # brick edge for the dense-grid kernel operand (see pack_vol_operand)
+
+
+def pack_vol_operand(vol) -> "np.ndarray":
+    """Pack a density-grid stack [G,D,H,W] into the megakernel's dense-grid
+    operand: a brick table ``[G, (bs+1)^3, NB]`` of 4^3 bricks with a
+    one-cell apron.
+
+    Why bricks: the kernel evaluates trilinear lookups as a one-hot MXU
+    contraction. The flat formulation ``[W, D*H] x [D*H, B]`` puts the
+    grid's shortest axis (W=32) on the systolic array's 128-row M dim —
+    4x padding waste, and measured MXU-bound on dense 32^3 grids
+    (sustained VPU 11-23% of peak while the iteration crawls). Bricking
+    re-shapes the same contraction to ``[125, NB] x [NB, B]``: M=125→128
+    is fully utilized, K=NB=512 for 32^3, so effective (padded) MXU work
+    halves. The apron duplicates one boundary layer per brick so any
+    trilinear stencil (base cell + 1) lives inside a single brick.
+
+    Layout: ``table[g, (lz*ap + ly)*ap + lx, (bz*nby + by)*nbx + bx] =
+    grid[g, bz*bs+lz, by*bs+ly, bx*bs+lx]`` (zero beyond the grid edge;
+    per-lane index clamps keep weights off those cells).
+    """
+    import numpy as np
+
+    vol = np.asarray(vol, np.float32)
+    G, D, H, W = vol.shape
+    bs = VOL_BRICK
+    ap = bs + 1
+    nbx, nby, nbz = -(-W // bs), -(-H // bs), -(-D // bs)
+    padded = np.zeros((G, nbz * bs + 1, nby * bs + 1, nbx * bs + 1), np.float32)
+    padded[:, :D, :H, :W] = vol
+    tab = np.empty((G, ap * ap * ap, nbz * nby * nbx), np.float32)
+    for bz in range(nbz):
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = padded[
+                    :, bz * bs : bz * bs + ap, by * bs : by * bs + ap,
+                    bx * bs : bx * bs + ap,
+                ]
+                tab[:, :, (bz * nby + by) * nbx + bx] = blk.reshape(G, -1)
+    return np.ascontiguousarray(tab)
+
+
 def density_sample(
     scn: SceneArrays, hit: Hit, coord: V3, nearest: bool = False,
     grid_t: jnp.ndarray | None = None,
@@ -55,7 +98,8 @@ def density_sample(
     far corner receives weight (1-f)+f = 1).
 
     ``grid_t`` (megakernel dense-grid path): the grid as a *kernel
-    operand*, pre-transposed to [G, W, D·H]. Selected by the renderer for
+    operand*, packed into a brick table by :func:`pack_vol_operand`.
+    Selected by the renderer for
     grids too dense for the scalar unroll below; see
     :func:`_density_operand`.
     """
@@ -143,73 +187,109 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
     cells (~3 VPU ops each) — ideal for the sparse bundled grids but
     quadratic pain for dense ones (a full 32³ grid would be ~100K ops per
     iteration, and the unroll's compile time grows with it). This path
-    instead ships the grid to VMEM and evaluates trilinear interpolation
-    as ONE MXU contraction per grid (formulation chosen by measurement —
-    see ROUND3_NOTES.md):
+    instead ships the grid to VMEM as a BRICK TABLE (``pack_vol_operand``:
+    4³ bricks with a one-cell apron, ``[G, 125, NB]``) and evaluates the
+    lookup as one MXU brick fetch plus an in-register trilinear:
 
-        t1[w, b]  = Σ_{dh}  gT[w, dh] · (wz ⊗ wy)[dh, b]    (MXU)
-        v[b]      = Σ_w     wx[w, b] · t1[w, b]             (VPU)
+        t[a, b] = Σ_nb table[a, nb] · brick_onehot[nb, b]     (MXU)
+        v[b]    = Σ_lz wlz Σ_ly wly Σ_lx wlx · t[(lz,ly,lx), b]  (VPU)
 
-    The (z,y) outer-product one-hot carries ≤4 nonzeros per lane; the
-    post-matmul intermediate is only [W, lanes]. Lane arrays keep the
-    kernel's native (rows, 128) tiling end to end — the contraction is a
-    rank-3 ``dot_general`` and the only reshape collapses *leading* dims
-    (free tile reindexing; collapsing into the lane dim measured ~7%
-    slower from the relayout). The outer product is chunked over z-slabs
-    so its [S·H, lanes] buffer stays within a fixed VMEM budget for large
-    grids.
+    Formulation history (each measured on v5e, dense_cloud 32³): a flat
+    ``[W, D·H] × [D·H, B]`` contraction with a (z,y) one-hot outer
+    product was MXU-BOUND — the grid's short axis (W=32) lands on the
+    systolic array's 128-row M dim, so 3/4 of the MXU ran padding
+    (sustained VPU only 11-23% of peak). The brick table makes M=125→128
+    fully utilized and halves effective MXU work; the brick one-hot
+    (1 nonzero) is also cheaper to build than the (z,y) outer product
+    (≤4 nonzeros), cutting ~500 VPU ops/lane/iteration.
 
-    Precision: DEFAULT (bf16 inputs, f32 accumulation) — the same MXU
-    precision class the XLA path's ``jnp.einsum`` uses for every grid.
-    Mosaic offers only DEFAULT and HIGHEST; HIGHEST (6-pass f32) measured
-    1.7× the per-iteration lookup cost and lost to the XLA fallback it is
-    meant to replace. The sparse scalar-unroll path above stays exact
-    f32; comparisons between the two lookup paths are therefore
-    statistical (knife-edge Bernoulli scatter decisions can flip).
+    Lane arrays keep the kernel's native (rows, 128) tiling end to end:
+    the contraction is a rank-3 ``dot_general`` and every reshape touches
+    *leading* dims only (free tile reindexing; collapsing into the lane
+    dim measured ~7% slower from the relayout). The one-hot build is
+    chunked over brick-z groups so its [S, lanes] buffer stays within a
+    fixed VMEM budget for large grids (lanes of one chunk sum exact
+    zeros from the others).
 
-    ``grid_t`` is the padded grid stack pre-transposed to [G, W, D·H]
-    (host-side, once per tracer build). Index one-hots use per-lane true
-    grid extents (``hit.vol_size``), so padding cells never receive
-    weight — identical semantics to the einsum path.
+    Precision: DEFAULT (bf16 inputs, f32 accumulation) on the MXU — the
+    same class the XLA path's ``jnp.einsum`` uses for every grid. The
+    brick one-hot is exactly representable in bf16 (entries 0/1), so the
+    fetched corner values are just bf16-rounded grid cells and the
+    trilinear weights apply in f32 — tighter than the flat formulation,
+    which rounded the weights too. Mosaic offers only DEFAULT and
+    HIGHEST; HIGHEST (6-pass f32) measured 1.7× the per-iteration lookup
+    cost and lost to the XLA fallback it is meant to replace. The sparse
+    scalar-unroll path above stays exact f32; comparisons between lookup
+    paths are therefore statistical (knife-edge Bernoulli scatter
+    decisions can flip).
+
+    Index one-hots use per-lane true grid extents (``hit.vol_size``), so
+    padding/apron cells beyond a grid's edge never receive weight —
+    identical semantics to the einsum path.
     """
     G, D, H, W = scn.vol_grid.shape
+    bs = VOL_BRICK
+    ap = bs + 1
+    nbx, nby, nbz = -(-W // bs), -(-H // bs), -(-D // bs)
+    NB = nbx * nby * nbz
+    assert grid_t.shape == (G, ap * ap * ap, NB), grid_t.shape
     shape = cx.shape
 
-    def onehot(c, n, hi):
-        ids = jax.lax.broadcasted_iota(jnp.int32, (n,) + shape, 0)
+    def axis(c, hi):
         if nearest:
-            i_n = jnp.floor(c + 0.5).astype(jnp.int32)[None]
-            return (ids == i_n) * 1.0
+            i0 = jnp.floor(c + 0.5).astype(jnp.int32)
+            return i0, i0, jnp.zeros_like(c)
         c0 = jnp.floor(c)
-        f = (c - c0)[None]
-        i0 = c0.astype(jnp.int32)[None]
-        i1 = jnp.minimum(i0 + 1, hi.astype(jnp.int32)[None])
-        return (ids == i0) * (1.0 - f) + (ids == i1) * f
+        i0 = c0.astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, hi.astype(jnp.int32))
+        return i0, i1, c - c0
 
     size = hit.vol_size
-    wx = onehot(cx, W, size.x)  # [W, *lanes]
-    wy = onehot(cy, H, size.y)  # [H, *lanes]
-    wz = onehot(cz, D, size.z)  # [D, *lanes]
+    ix0, ix1, fx = axis(cx, size.x)
+    iy0, iy1, fy = axis(cy, size.y)
+    iz0, iz1, fz = axis(cz, size.z)
+    bx, by, bz = ix0 // bs, iy0 // bs, iz0 // bs
+
+    def bhot(b, n):  # exact brick one-hot rows (1 nonzero per lane)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (n,) + shape, 0)
+        return (ids == b[None]) * 1.0
+
+    def lhot(i0, i1, f, base):  # local (apron) lerp one-hot, ≤2 nonzeros
+        ids = jax.lax.broadcasted_iota(jnp.int32, (ap,) + shape, 0)
+        l0 = (i0 - base * bs)[None]
+        l1 = (i1 - base * bs)[None]
+        return (ids == l0) * (1.0 - f[None]) + (ids == l1) * f[None]
+
+    wbx, wby, wbz = bhot(bx, nbx), bhot(by, nby), bhot(bz, nbz)
+    wby_x = (wby[:, None] * wbx[None]).reshape((nby * nbx,) + shape)
+    wlx = lhot(ix0, ix1, fx, bx)  # [ap, *lanes]
+    wly = lhot(iy0, iy1, fy, by)
+    wlz = lhot(iz0, iz1, fz, bz)
 
     import numpy as _np
 
     B = int(_np.prod(shape))
-    # z-slab chunking bounds the outer-product buffer at ~8 MB of VMEM
-    slab = max(1, min(D, (8 << 20) // max(H * B * 4, 1)))
+    # brick-z chunking bounds the one-hot buffer at ~8 MB of VMEM
+    zgrp = max(1, min(nbz, (8 << 20) // max(nby * nbx * B * 4, 1)))
     out = jnp.zeros_like(cx)
     gidx = jnp.maximum(hit.vol_grid, 0)
     for g in range(G):
-        t1 = None  # [W, *lanes]
-        for d0 in range(0, D, slab):
-            s = min(slab, D - d0)
-            wzy = (wz[d0 : d0 + s][:, None] * wy[None]).reshape((s * H,) + shape)
+        t = None  # [ap³, *lanes]
+        for z0 in range(0, nbz, zgrp):
+            s = min(zgrp, nbz - z0)
+            whot = (wbz[z0 : z0 + s][:, None] * wby_x[None]).reshape(
+                (s * nby * nbx,) + shape
+            )
             part = jax.lax.dot_general(
-                grid_t[g][:, d0 * H : (d0 + s) * H], wzy,
+                grid_t[g][:, z0 * nby * nbx : (z0 + s) * nby * nbx], whot,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [W, *lanes]
-            t1 = part if t1 is None else t1 + part
-        vg = jnp.sum(t1 * wx, axis=0)
+            )  # [ap³, *lanes]
+            t = part if t is None else t + part
+        t3 = t.reshape((ap, ap, ap) + shape)
+        r = jnp.sum(t3 * wlx[None, None], axis=2)  # [ap, ap, *lanes]
+        r = jnp.sum(r * wly[None], axis=1)  # [ap, *lanes]
+        vg = jnp.sum(r * wlz, axis=0)
         out = vg if G == 1 else jnp.where(gidx == g, vg, out)
     return out
 

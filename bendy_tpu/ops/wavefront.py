@@ -242,8 +242,9 @@ def trace_core(
     loop-invariant vector would trip Mosaic layout inference).
 
     ``vol_grid_t`` (megakernel only): the density-grid stack as a traced
-    kernel operand, pre-transposed to [G, W, D·H] — dense grids too big
-    for the baked scalar unroll (see ops.volume._density_operand).
+    kernel operand, packed into a brick table (ops.volume.pack_vol_operand)
+    — dense grids too big for the baked scalar unroll (see
+    ops.volume._density_operand).
 
     ``prim_tables`` (megakernel only, with ``cfg.looped_sweep``): the
     stacked primitive-row matrices as SMEM refs — the looped sweep reads

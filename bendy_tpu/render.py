@@ -434,8 +434,9 @@ class Renderer:
 
         The kernel has two trilinear-lookup strategies (ops/volume.py):
         the baked scalar unroll costs ~3 VPU ops per NONZERO cell per
-        iteration, the MXU operand contraction ~10ns·D·H per iteration
-        regardless of sparsity (both measured on v5e). The unroll also
+        iteration, the MXU brick-table contraction a fixed cost per
+        iteration scaling with the brick count D·H·W/64 regardless of
+        sparsity (both measured on v5e). The unroll also
         bloats compile time with the cell count, so it is capped at 4096
         cells outright. Bundled sparse scenes (volume 240, cloud 523,
         blackhole_cloud 712 nnz) keep the cheaper unroll; dense or large

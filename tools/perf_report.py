@@ -129,11 +129,9 @@ def loop_body_ops(scene_name: str, width=256, height=256, spp=64, subsample=2,
 
     grid_t = None
     if cfg.has_volumes and r.vol_operand():
-        import numpy as np
+        from bendy_tpu.ops.volume import pack_vol_operand
 
-        vol = np.asarray(scn.vol_grid)
-        G, D, H, W = vol.shape
-        grid_t = jnp.asarray(vol.reshape(G, D * H, W).transpose(0, 2, 1))
+        grid_t = jnp.asarray(pack_vol_operand(scn.vol_grid))
 
     jx = jax.make_jaxpr(
         lambda p, s: trace_core(scn, cam, key, p, s, width, height, spp,
