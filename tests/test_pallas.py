@@ -159,6 +159,71 @@ def test_vol_operand_policy():
         assert not Renderer(scene, use_pallas=False).vol_operand()
 
 
+def test_megakernel_multi_grid_operand():
+    """TWO density grids with different, non-brick-multiple extents in
+    the SAME operand table: covers the per-grid select (``gidx == g``)
+    and the per-lane true-extent clamps in ops.volume._density_operand
+    (every bundled scene is G=1, so only this gates them). Grid dims
+    12x10x6 and 8^3 — neither a multiple of the 4^3 brick, so the padded
+    apron cells beyond each grid's edge must receive zero weight."""
+    from bendy_tpu.models.dense_cloud import blob_density
+    from bendy_tpu.scene.graph import (
+        Camera, Data, DensityMap, Material, Object, ObjectFlags, Scene,
+        Sphere,
+    )
+
+    scene = Scene()
+    env = scene.add_data(Data(Material.emissive((0.5, 0.6, 0.8), 0.1)))
+    scene.set_root_material(env)
+    scene.add_object(
+        Object(Camera(focal_length=0.06, sensor_size=0.024, focus=None))
+        .with_tag("camera")
+        .with_translation([0.0, 0.0, 6.0])
+    )
+
+    def ramp(x, y, z):  # smooth gradient: exercises all 8 lerp corners
+        return 0.2 + 0.05 * x + 0.08 * y + 0.11 * z
+
+    vol_a = scene.add_data(Data(DensityMap.with_func(12, 10, 6, ramp)))
+    vol_b = scene.add_data(Data(blob_density(8)))
+    shell = scene.add_data(Data(Material.flat((1.0, 1.0, 1.0))))
+    scene.add_object(
+        Object(Sphere(material=shell, radius=1.2, volume=vol_a))
+        .with_translation([-1.4, 0.0, 0.0])
+    )
+    scene.add_object(
+        Object(Sphere(material=shell, radius=1.2, volume=vol_b))
+        .with_translation([1.4, 0.0, 0.0])
+    )
+    light = scene.add_data(Data(Material.emissive((1.0, 0.9, 0.75), 8.0)))
+    scene.add_object(
+        Object(Sphere(material=light, radius=0.8))
+        .with_translation([3.0, 2.5, 1.5])
+        .with_flags(ObjectFlags.LIGHT)
+    )
+
+    W = H = 16
+    spp = 2
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(max_bounces=3), use_pallas=False)
+    assert r.arrays.host_copy().vol_grid.shape[0] == 2
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)
+    assert cfg.has_volumes
+
+    pix, sub = _lanes(W, H)
+    key = render_key(jnp.uint32(23), jnp.uint32(0))
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(
+        r.arrays, W, H, spp, 1, cfg, block_rows=_block_rows(W, H),
+        interpret=True, vol_operand=True,
+    )
+    pal = kern(pack_camera(cam), jnp.uint32(23), jnp.uint32(0), pix, sub)
+    _volume_parity(pal, xla)
+    assert float(pal.rays) == pytest.approx(float(xla.rays))
+
+
 def test_megakernel_geodesic_scene():
     """RK4 chord-stepped propagation inside the kernel == XLA."""
     W = H = 16
