@@ -272,6 +272,20 @@ def trace_core(
         prim_tables = _prim_tables(scn, jnp)
     if spp_total is None:
         spp_total = spp
+    # Stream ids are u32: id = (pix*spp_total + s)*nn + sub, so the id
+    # space is width*height*spp_total*nn. Overflow would silently alias
+    # RNG streams across the image (correlated noise, no error) — refuse
+    # at trace time instead. 1080p x 256spp x 2x2 subpixels fits (2.1e9);
+    # 4K x 256 x 2x2 does not — lower spp per pass and accumulate.
+    id_space = width * height * spp_total * nn
+    if id_space > 0xFFFFFFFF:
+        raise ValueError(
+            f"RNG stream-id space {width}x{height}x{spp_total}spp x{nn}sub "
+            f"= {id_space} exceeds u32 ({0xFFFFFFFF}); ids would alias and "
+            "silently correlate samples across pixels. Render in multiple "
+            "passes with lower spp_total (progressive film accumulation "
+            "re-keys each pass) or drop --subsample."
+        )
     sample0 = jnp.asarray(sample0, jnp.uint32)
 
     def lane_coords():

@@ -254,3 +254,24 @@ def test_device_film_checkpoint_and_to_device(tmp_path, cornell_nodof):
     dev = to_device(loaded)
     assert dev.passes == film.passes
     np.testing.assert_allclose(dev.mean(), film.mean())
+
+
+def test_rng_stream_id_overflow_refused(cornell_nodof):
+    """u32 stream-id aliasing must be a loud trace-time error, not silent
+    image correlation (id = (pix*spp_total + s)*nn + sub must fit u32)."""
+    from bendy_tpu.ops.wavefront import trace
+
+    scene, cam_ref = cornell_nodof
+    r = Renderer(scene, Config(max_bounces=1))
+    W = H = 8
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    sub = jnp.zeros(W * H, jnp.uint32)
+    key = render_key(jnp.uint32(5), jnp.uint32(0))
+    cfg = r.trace_config(r.config)
+    # 8x8 image but a sharded-mesh spp_total huge enough to overflow:
+    # 64 * 2^28 * 4 = 2^36 > 2^32.
+    with pytest.raises(ValueError, match="stream-id space"):
+        trace(
+            r.arrays, r.camera_params(cam_ref), key, pix, sub, W, H,
+            4, 2, cfg, spp_total=1 << 28,
+        )
