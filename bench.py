@@ -134,9 +134,32 @@ def sharded_megakernel_row(width=256, height=256, spp=64, subsample=2):
             # (~117M): per-block vs whole-batch summation round differently
             "rays_rel_err": float(abs(float(rays) - float(xr))
                                   / max(float(xr), 1.0)),
+            "workload": workload("cornell", width, height, spp, subsample,
+                                 passes=4, repeats=3),
         }
     except Exception as e:  # pragma: no cover - device-dependent
         return {"ok": False, "error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def workload(scene, width, height, spp, sub, config=Config(), passes=1,
+             repeats=7):
+    """Self-describing row config: reproduce any row without reading bench.py.
+
+    Records every knob that shapes the measured work — the geometry, the
+    sample counts, and the Config fields that differ per row (blackhole
+    rows run max_bounces=2 because every path terminates on the emissive
+    sky/disk; blackhole_cloud also widens volume_step to 0.6). The
+    reference default is max_bounces=8 / volume_step=0.1 — rows that
+    deviate say so here instead of hiding it in code.
+    """
+    return {
+        "scene": scene, "width": width, "height": height, "spp": spp,
+        "subsample": sub, "max_bounces": config.max_bounces,
+        "max_volume_bounces": config.max_volume_bounces,
+        "volume_step": config.volume_step,
+        "vol_sampling": config.vol_sampling,
+        "passes_per_timing": passes, "repeats": repeats,
+    }
 
 
 def main() -> None:
@@ -162,6 +185,7 @@ def main() -> None:
         "unit": "Mrays/s",
         "vs_baseline": round(res["median"] / TARGET, 3),
         "best": round(res["best"], 2),
+        "workload": workload("cornell", 256, 256, 64, 2, passes=4),
     }
     if retry_median is not None:
         line["retried"] = True
@@ -169,14 +193,17 @@ def main() -> None:
     print(json.dumps(line))
 
     if "--full" in sys.argv:
-        def row(res):
+        def row(res, wl):
             return {
                 "mrays": round(res["median"], 2),
                 "mrays_best": round(res["best"], 2),
                 "seconds": round(res["seconds_median"], 3),
+                "workload": wl,
             }
 
-        results = {"cornell": row(res)}
+        results = {
+            "cornell": row(res, workload("cornell", 256, 256, 64, 2, passes=4))
+        }
         for name, spp, sub in [
             ("cornell2", 64, 2),
             ("scene", 64, 2),
@@ -186,17 +213,19 @@ def main() -> None:
         ]:
             rr = timed_render(load_scene(f"scenes/{name}.json.gz"), 256, 256, spp, sub,
                               passes=4)
-            results[name] = row(rr)
+            results[name] = row(rr, workload(name, 256, 256, spp, sub, passes=4))
             print(f"{name}: {rr['median']:.1f} Mrays/s median "
                   f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
+        bh_cfg = Config(max_bounces=2)
         rr = timed_render(
             load_scene("scenes/blackhole.json.gz"), 512, 512, 32, 1,
-            Config(max_bounces=2), passes=4,
+            bh_cfg, passes=4,
         )
         # the lensed north-star config, linearly projected to a v5e-8 pod
         proj = rr["seconds_median"] * (1920 * 1080 * 256) / (512 * 512 * 32) / 8
         results["blackhole_geodesic"] = dict(
-            row(rr), projected_1080p_256spp_v5e8_s=round(proj, 1),
+            row(rr, workload("blackhole", 512, 512, 32, 1, bh_cfg, passes=4)),
+            projected_1080p_256spp_v5e8_s=round(proj, 1),
         )
         print(
             f"blackhole: {rr['median']:.1f} Mrays/s median "
@@ -205,11 +234,13 @@ def main() -> None:
             file=sys.stderr,
         )
         # geodesic x volume: the volumetric accretion-disk showcase
+        bhc_cfg = Config(max_bounces=2, volume_step=0.6)
         rr = timed_render(
             load_scene("scenes/blackhole_cloud.json.gz"), 512, 288, 32, 1,
-            Config(max_bounces=2, volume_step=0.6), passes=4,
+            bhc_cfg, passes=4,
         )
-        results["blackhole_cloud"] = row(rr)
+        results["blackhole_cloud"] = row(
+            rr, workload("blackhole_cloud", 512, 288, 32, 1, bhc_cfg, passes=4))
         print(f"blackhole_cloud: {rr['median']:.1f} Mrays/s median "
               f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
         # large-scene looped sweep (auto policy: 258 prims > threshold).
@@ -217,9 +248,13 @@ def main() -> None:
         # rejects there, the XLA fallback; record which path ran.
         from bendy_tpu.models.prim_grid import build_prim_grid
 
+        pg_cfg = Config(max_bounces=4)
         rr = timed_render(build_prim_grid(256), 256, 256, 16, 1,
-                          Config(max_bounces=4), passes=4)
-        results["prim_grid_256_looped"] = dict(row(rr), pallas=rr["pallas"])
+                          pg_cfg, passes=4)
+        results["prim_grid_256_looped"] = dict(
+            row(rr, workload("prim_grid_256 (generated)", 256, 256, 16, 1,
+                             pg_cfg, passes=4)),
+            pallas=rr["pallas"])
         print(f"prim_grid_256 (looped sweep): {rr['median']:.1f} Mrays/s median "
               f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
         # sharded megakernel on a (1,1) mesh: proves the SPMD Mosaic
@@ -252,9 +287,10 @@ def main() -> None:
         # the north star measured for real (median of 3: ~6 s/pass)
         rr = timed_render(
             load_scene("scenes/blackhole.json.gz"), 1920, 1080, 256, 1,
-            Config(max_bounces=2), repeats=3,
+            bh_cfg, repeats=3,
         )
-        results["blackhole_1080p_256spp"] = row(rr)
+        results["blackhole_1080p_256spp"] = row(
+            rr, workload("blackhole", 1920, 1080, 256, 1, bh_cfg, repeats=3))
         print(
             f"blackhole 1080p@256spp real render: {rr['seconds_median']:.2f}s "
             f"median on one chip ({rr['median']:.1f} Mrays/s)",
