@@ -45,6 +45,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VPU_ISSUE_PEAK = 8 * 128 * 4 * 0.94e9  # v5e: (8,128) vregs x 4 ALUs x 0.94 GHz
 VPU_FMA_PEAK = 2 * VPU_ISSUE_PEAK  # each ALU slot retires a mul+add pair
+# v5e MXU peak: 197 TFLOP/s bf16 (public spec, per chip). The brick-table
+# volume fetch contracts bf16 one-hots against bf16 corners, so bf16 peak
+# is the right denominator; an f32 contraction would halve it, making the
+# reported utilization conservative, never flattering.
+MXU_PEAK_BF16 = 1.97e14
 ZERO_COST = {
     "broadcast_in_dim", "reshape", "transpose", "squeeze", "iota",
     "copy", "stop_gradient", "slice", "concatenate", "pad",
@@ -113,7 +118,12 @@ def loop_body_ops(scene_name: str, width=256, height=256, spp=64, subsample=2,
     from bendy_tpu.render import Config, Renderer
     from bendy_tpu.scene import load_scene
 
-    scene = load_scene(f"scenes/{scene_name}.json.gz")
+    if scene_name.startswith("prim_grid_"):  # generated looped-sweep scenes
+        from bendy_tpu.models.prim_grid import build_prim_grid
+
+        scene = build_prim_grid(int(scene_name.split("_")[-1]))
+    else:
+        scene = load_scene(f"scenes/{scene_name}.json.gz")
     cam_ref = scene.find_by_tag("camera")
     scene.get_object(cam_ref).inner.aspect_ratio = width / height
     r = Renderer(scene, Config(), use_pallas=False)
@@ -230,6 +240,7 @@ def report(scene_name="cornell") -> dict:
     it_s, rays_s = measure_iters_per_sec(info)
     lanes = info["block_rows"] * 128
     sustained = it_s * info["vpu_ops_per_iter"]
+    sustained_mxu = it_s * info["mxu_flops_per_iter"]
     return {
         "scene": scene_name,
         "block_rows": info["block_rows"],
@@ -244,6 +255,10 @@ def report(scene_name="cornell") -> dict:
         # into an FMA slot, hi assumes none do (see module docstring)
         "vpu_utilization_lo": round(sustained / VPU_FMA_PEAK, 3),
         "vpu_utilization_hi": round(min(sustained / VPU_ISSUE_PEAK, 1.0), 3),
+        # MXU side (volume scenes: the brick-table density fetch is the
+        # only dot_general in the loop). Zero for surface-only scenes.
+        "sustained_mxu_flops_per_sec": f"{sustained_mxu:.3e}",
+        "mxu_utilization": round(sustained_mxu / MXU_PEAK_BF16, 3),
     }
 
 
@@ -254,8 +269,9 @@ def main() -> None:
         print(row)
     if "--write" in sys.argv:
         lines = [
-            "# PERF — measured VPU utilization (regenerate: "
-            "`python3 tools/perf_report.py cornell cloud blackhole --write`)",
+            "# PERF — measured VPU/MXU utilization (regenerate: "
+            "`python3 tools/perf_report.py cornell cloud dense_cloud "
+            "blackhole --write`)",
             "",
             "Method: tools/perf_report.py — jaxpr op count of the exact loop",
             "body × measured kernel iteration rate (per-block counters in the",
@@ -266,8 +282,12 @@ def main() -> None:
             "ops/s above the issue peak (cloud, blackhole) proves the",
             "compiler is FMA-fusing. Conventions in the tool docstring.",
             "",
-            "| scene | ops/lane/iter | occupancy | Mrays/s | sustained ops/s | VPU util |",
-            "|---|---|---|---|---|---|",
+            "MXU column: the brick-table density fetch is the loop's only",
+            "dot_general; sustained dot-FLOP/s vs the v5e bf16 MXU peak",
+            "(1.97e14). Surface-only scenes show 0.",
+            "",
+            "| scene | ops/lane/iter | occupancy | Mrays/s | sustained ops/s | VPU util | MXU FLOP/s | MXU util |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for row in rows:
             lines.append(
@@ -275,7 +295,9 @@ def main() -> None:
                 f"{row['live_lane_occupancy']} | {row['mrays_per_sec']} | "
                 f"{row['sustained_vpu_ops_per_sec']} | "
                 f"**{row['vpu_utilization_lo']:.0%}–"
-                f"{row['vpu_utilization_hi']:.0%}** |"
+                f"{row['vpu_utilization_hi']:.0%}** | "
+                f"{row['sustained_mxu_flops_per_sec']} | "
+                f"{row['mxu_utilization']:.1%} |"
             )
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with open(os.path.join(root, "PERF.md"), "w") as f:
