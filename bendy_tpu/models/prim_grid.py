@@ -91,6 +91,77 @@ def build_light_field(n_lights: int, seed: int = 11) -> Scene:
     return scene
 
 
+def build_cuboid_light(seed: int = 13) -> Scene:
+    """A LIGHT-flagged emissive cuboid over a diffuse floor, plus a small
+    rect light: the only scene exercising the F>1 area-weighted face CDF
+    of ``sample_light_point``/``light_pdf`` (and its looped twins)
+    end-to-end (``src/scene/object/cuboid.rs:48-81``: pick a face by
+    area, pdf from the nearest face along the shadow ray).
+
+    Design notes for a tight oracle gate: the cuboid's axes are unequal
+    (0.9/0.35/0.55) so the six face areas differ and the CDF is
+    non-uniform; it is rotated so several faces are visible from both
+    the camera and the floor; the env is black so ALL radiance routes
+    through the two lights; the rect light makes L=2 with one valid face
+    (the lval padding mask of the [L, F] table is live, not degenerate).
+    """
+    rng = random.Random(seed)
+    scene = Scene()
+    env = scene.add_data(Data(Material.flat((0.0, 0.0, 0.0))))
+    scene.set_root_material(env)
+
+    scene.add_object(
+        Object(Camera(focal_length=0.05, sensor_size=0.024, focus=None))
+        .with_tag("camera")
+        .with_transform(
+            affine_from_rotation_translation(
+                quat_from_euler_yxz(0.0, -0.3, 0.0), [0.0, 3.2, 9.0]
+            )
+        )
+    )
+    ground = scene.add_data(Data(Material.diffuse((0.62, 0.58, 0.55), 0.8)))
+    scene.add_object(
+        Object(Rect.from_edges(ground, [8.0, 0, 0], [0, 0, -8.0]))
+        .with_translation([0.0, 0.0, 0.0])
+    )
+    back = scene.add_data(Data(Material.diffuse((0.5, 0.55, 0.65), 0.8)))
+    scene.add_object(
+        Object(Rect.from_edges(back, [8.0, 0, 0], [0, 4.0, 0]))
+        .with_translation([0.0, 4.0, -8.0])
+    )
+
+    glow = scene.add_data(Data(Material.emissive((1.0, 0.9, 0.75), 7.0)))
+    scene.add_object(
+        Object(Cuboid.from_axes(glow, [0.9, 0, 0], [0, 0.35, 0], [0, 0, 0.55]))
+        .with_transform(
+            affine_from_rotation_translation(
+                quat_from_euler_yxz(0.7, 0.3, 0.2), [-0.8, 2.4, -1.0]
+            )
+        )
+        .with_flags(ObjectFlags.LIGHT)
+    )
+    spark = scene.add_data(Data(Material.emissive((0.6, 0.8, 1.0), 9.0)))
+    scene.add_object(
+        Object(Rect.from_edges(spark, [0.35, 0, 0], [0, 0, -0.35]))
+        .with_translation([2.6, 3.4, 0.5])
+        .with_flags(ObjectFlags.LIGHT)
+    )
+
+    # diffuse receivers: NEE toward the cuboid dominates their radiance
+    matl = [
+        scene.add_data(Data(Material.diffuse((0.75, 0.4, 0.35), 0.75))),
+        scene.add_data(Data(Material.diffuse((0.35, 0.65, 0.5), 0.75))),
+    ]
+    for i in range(4):
+        x = -2.5 + 1.7 * i + rng.uniform(-0.2, 0.2)
+        r = rng.uniform(0.35, 0.6)
+        scene.add_object(
+            Object(Sphere(material=matl[i % 2], radius=r))
+            .with_translation([x, r, rng.uniform(0.0, 1.5)])
+        )
+    return scene
+
+
 def build_prim_grid(n: int, seed: int = 7) -> Scene:
     """A scene with ``n`` field primitives (spheres/cuboids alternating).
 

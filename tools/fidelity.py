@@ -82,6 +82,7 @@ def main() -> int:
         "volume": {},
         "cloud": {},
         "dense_cloud": {},
+        "cuboid_light": {},  # F>1 face-CDF light sampling (VERDICT r3 #3)
         "blackhole": {"geodesic": True},
         "binary_blackhole": {"geodesic": True},
         "blackhole_cloud": {"geodesic": True, "volume_step": 0.6},
@@ -142,6 +143,12 @@ def main() -> int:
                       file=sys.stderr)
         out[name] = entry
 
+    if args.scenes and os.path.exists(args.out):
+        # partial regeneration merges into the existing table
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged.update(out)
+        out = merged
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}", file=sys.stderr)
