@@ -471,6 +471,12 @@ LOOP_BLOCK = 8  # primitives unrolled per fori_loop step in the looped sweep.
 
 LIGHT_FACE_COLS = 23  # per-face column span in the light table
 
+# sweep-table column counts (the prim_tables layouts below). The
+# megakernel ships these three tables to SMEM flattened 1D so the looped
+# sweep can hoist row base addresses (see nearest_hit_looped.row_getter);
+# 1D refs recover their geometry from these.
+SWEEP_NCOLS = {"sph": 15, "rct": 21, "box": 28}
+
 
 def prim_tables(scn: SceneArrays, xp=jnp, block: int | None = None,
                 kinds: tuple = ("sph", "rct", "box", "light")) -> dict:
@@ -694,8 +700,20 @@ def nearest_hit_looped(
     if tables is None:
         tables = prim_tables(scn, jnp, block)
 
-    def row_getter(tab, base):
+    def row_getter(tab, base, ncols):
         if is_ref:
+            if tab.ndim == 1:
+                # Flattened SMEM table (ops/pallas_trace ships the sweep
+                # tables 1D): hoist the block's flat base ONCE so every
+                # load's address is base_flat + CONSTANT (j*ncols+c folds
+                # to a Python int) — one scalar add per load instead of
+                # the 2D form's per-load (base+j)*C+c mul/add chain. At
+                # 512 prims the sweep issues thousands of SMEM loads per
+                # block-iteration, so scalar-unit address arithmetic is
+                # real throughput. Load order and values are unchanged
+                # (bit-identity gates vs the unrolled sweep still hold).
+                base_flat = base * ncols
+                return lambda j, c: tab[base_flat + (j * ncols + c)]
             return lambda j, c: tab[base + j, c]
         r = jax.lax.dynamic_slice_in_dim(tab, base, block, axis=0)
         return lambda j, c: r[j, c]
@@ -719,13 +737,16 @@ def nearest_hit_looped(
             i, m = idx
             return self._g(self._j, self._s + 3 * i + m)
 
+    def n_rows(tab, ncols):
+        return tab.shape[0] // ncols if tab.ndim == 1 else tab.shape[0]
+
     if has_sph:
         tab = tables["sph"]
-        n_blocks = tab.shape[0] // block
+        n_blocks = n_rows(tab, SWEEP_NCOLS["sph"]) // block
 
         def sph_block(blk, st: _Sweep) -> _Sweep:
             base = blk * block
-            g = row_getter(tab, base)
+            g = row_getter(tab, base, SWEEP_NCOLS["sph"])
             for j in range(block):
                 center = V3(g(j, 0), g(j, 1), g(j, 2))
                 radius = g(j, 3)
@@ -768,11 +789,11 @@ def nearest_hit_looped(
 
     if scn.n_trace_rects > 0:
         tab = tables["rct"]
-        n_blocks = tab.shape[0] // block
+        n_blocks = n_rows(tab, SWEEP_NCOLS["rct"]) // block
 
         def rct_block(blk, st: _Sweep) -> _Sweep:
             base = blk * block
-            g = row_getter(tab, base)
+            g = row_getter(tab, base, SWEEP_NCOLS["rct"])
             for j in range(block):
                 zb = V3(g(j, 9), g(j, 10), g(j, 11))
                 t_k, p_k = rect_t(
@@ -807,11 +828,11 @@ def nearest_hit_looped(
 
     if scn.n_boxes > 0:
         tab = tables["box"]
-        n_blocks = tab.shape[0] // block
+        n_blocks = n_rows(tab, SWEEP_NCOLS["box"]) // block
 
         def box_block(blk, st: _Sweep) -> _Sweep:
             base = blk * block
-            g = row_getter(tab, base)
+            g = row_getter(tab, base, SWEEP_NCOLS["box"])
             for j in range(block):
                 t_k, p_k, zb_k = box_t(
                     org, dir, cmin, cmax, _Cols2D(g, j, 0),
