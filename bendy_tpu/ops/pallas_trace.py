@@ -48,6 +48,8 @@ def rows_for(cfg) -> int:
     return DEFAULT_ROWS
 
 N_OUT = 10  # rx ry rz ax ay az nx ny nz dep
+FLAT_TABLES = True  # ship looped-sweep tables 1D (hoisted row addressing);
+#   False restores 2D refs — hardware A/B knob, tools/looped_hw_check.py
 
 
 def pack_camera(cam: CameraParams) -> jnp.ndarray:
@@ -129,9 +131,16 @@ def make_pallas_tracer(
 
     grid_t_host = None
     if vol_operand:
-        from bendy_tpu.ops.volume import pack_vol_operand
+        from bendy_tpu.ops.volume import VOL_FETCH_DTYPE, pack_vol_operand
 
         grid_t_host = pack_vol_operand(scn_host.vol_grid)  # brick table
+        if not interpret:
+            # real kernel: ship the operand in the fetch dtype (bf16 by
+            # default: measured +34% on dense_cloud, tools/dense_grid_sweep;
+            # DEFAULT MXU precision rounds to bf16 anyway so products are
+            # unchanged). Interpret-mode CI keeps f32 — CPU dots don't
+            # round, and the exact-parity gates vs XLA must stay exact.
+            grid_t_host = grid_t_host.astype(jnp.dtype(VOL_FETCH_DTYPE))
 
     # looped sweep (large scenes): the primitive-row matrices ship as
     # SMEM operands — scalar memory is the one space Mosaic lets a traced
@@ -151,7 +160,8 @@ def make_pallas_tracer(
         # (scalar-unit address arithmetic is real throughput at 512 prims).
         # The light table stays 2D — its per-face span depends on F.
         tables_host = [
-            tabs[k].reshape(-1) if k in ("sph", "rct", "box") else tabs[k]
+            tabs[k].reshape(-1) if FLAT_TABLES and k in ("sph", "rct", "box")
+            else tabs[k]
             for k in table_keys
         ]
 

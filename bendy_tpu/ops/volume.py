@@ -33,6 +33,27 @@ from bendy_tpu.utils.v3 import V3
 
 VOL_BRICK = 4  # brick edge for the dense-grid kernel operand (see pack_vol_operand)
 
+# Dense-grid fetch formulation knobs (hardware-swept by
+# tools/dense_grid_sweep.py; defaults = measured winners on v5e).
+#
+# VOL_FETCH_DTYPE: operand dtype fed to the MXU. The contraction runs in
+# DEFAULT precision either way (bf16 inputs, f32 accumulation), so
+# pre-converting the table and building the one-hot directly in bf16
+# yields BIT-identical products while halving the VMEM traffic of the
+# [S, lanes] one-hot buffer (4 MB/iteration at 32^3) and of the resident
+# table — the fetch's memory side, not its FLOPs, is what the bf16 knob
+# attacks. f32 restores the round-3 formulation.
+#
+# Measured (tools/dense_grid_sweep.py, v5e, dense_cloud 256x256@64spp,
+# all four variants mean-rel-err 9.2e-06 vs the XLA einsum path):
+#   f32+outer 377 | f32+direct 385 | bf16+outer 489 | bf16+direct 508
+# bf16+direct is the shipped default: +34% over the round-3 form.
+VOL_FETCH_DTYPE = jnp.bfloat16
+# VOL_ONEHOT_DIRECT: build the brick one-hot as ONE iota-compare against
+# the flattened brick id instead of the (z ⊗ (y ⊗ x)) outer product —
+# drops the [nby*nbx, lanes] intermediate and its multiplies.
+VOL_ONEHOT_DIRECT = True
+
 
 def pack_vol_operand(vol) -> "np.ndarray":
     """Pack a density-grid stack [G,D,H,W] into the megakernel's dense-grid
@@ -71,6 +92,9 @@ def pack_vol_operand(vol) -> "np.ndarray":
                     bx * bs : bx * bs + ap,
                 ]
                 tab[:, :, (bz * nby + by) * nbx + bx] = blk.reshape(G, -1)
+    # f32 here; the REAL kernel build converts to VOL_FETCH_DTYPE
+    # (ops/pallas_trace.py) while interpret-mode CI keeps f32 so the
+    # exact-parity gates vs the XLA einsum path stay exact on CPU.
     return np.ascontiguousarray(tab)
 
 
@@ -250,9 +274,13 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
     iz0, iz1, fz = axis(cz, size.z)
     bx, by, bz = ix0 // bs, iy0 // bs, iz0 // bs
 
+    # the one-hot dtype follows the shipped operand (bf16 on the real
+    # kernel, f32 under interpret/XLA — see pack note + VOL_FETCH_DTYPE)
+    dtype = grid_t.dtype
+
     def bhot(b, n):  # exact brick one-hot rows (1 nonzero per lane)
         ids = jax.lax.broadcasted_iota(jnp.int32, (n,) + shape, 0)
-        return (ids == b[None]) * 1.0
+        return ((ids == b[None]) * 1).astype(dtype)
 
     def lhot(i0, i1, f, base):  # local (apron) lerp one-hot, ≤2 nonzeros
         ids = jax.lax.broadcasted_iota(jnp.int32, (ap,) + shape, 0)
@@ -260,8 +288,11 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
         l1 = (i1 - base * bs)[None]
         return (ids == l0) * (1.0 - f[None]) + (ids == l1) * f[None]
 
-    wbx, wby, wbz = bhot(bx, nbx), bhot(by, nby), bhot(bz, nbz)
-    wby_x = (wby[:, None] * wbx[None]).reshape((nby * nbx,) + shape)
+    if VOL_ONEHOT_DIRECT:
+        nb_flat = (bz * nby + by) * nbx + bx  # [lanes] flat brick id
+    else:
+        wbx, wby, wbz = bhot(bx, nbx), bhot(by, nby), bhot(bz, nbz)
+        wby_x = (wby[:, None] * wbx[None]).reshape((nby * nbx,) + shape)
     wlx = lhot(ix0, ix1, fx, bx)  # [ap, *lanes]
     wly = lhot(iy0, iy1, fy, by)
     wlz = lhot(iz0, iz1, fz, bz)
@@ -270,18 +301,29 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
 
     B = int(_np.prod(shape))
     # brick-z chunking bounds the one-hot buffer at ~8 MB of VMEM
-    zgrp = max(1, min(nbz, (8 << 20) // max(nby * nbx * B * 4, 1)))
+    # (dtype-aware: bf16 halves bytes/row, so 32^3 fits in ONE dot call)
+    itemsize = jnp.dtype(dtype).itemsize
+    zgrp = max(1, min(nbz, (8 << 20) // max(nby * nbx * B * itemsize, 1)))
     out = jnp.zeros_like(cx)
     gidx = jnp.maximum(hit.vol_grid, 0)
+    tab = grid_t
     for g in range(G):
         t = None  # [ap³, *lanes]
         for z0 in range(0, nbz, zgrp):
             s = min(zgrp, nbz - z0)
-            whot = (wbz[z0 : z0 + s][:, None] * wby_x[None]).reshape(
-                (s * nby * nbx,) + shape
-            )
+            if VOL_ONEHOT_DIRECT:
+                ids = jax.lax.broadcasted_iota(
+                    jnp.int32, (s * nby * nbx,) + shape, 0
+                )
+                whot = ((ids == (nb_flat - z0 * nby * nbx)[None]) * 1).astype(
+                    dtype
+                )
+            else:
+                whot = (wbz[z0 : z0 + s][:, None] * wby_x[None]).reshape(
+                    (s * nby * nbx,) + shape
+                )
             part = jax.lax.dot_general(
-                grid_t[g][:, z0 * nby * nbx : (z0 + s) * nby * nbx], whot,
+                tab[g][:, z0 * nby * nbx : (z0 + s) * nby * nbx], whot,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [ap³, *lanes]

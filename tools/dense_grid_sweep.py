@@ -1,0 +1,120 @@
+"""Hardware A/B of the dense-grid fetch formulations (VERDICT r4 item 1).
+
+Sweeps the ops/volume knobs on the real chip over scenes/dense_cloud
+(full 32^3 grid — the megakernel brick-table operand path):
+
+  f32+outer   round-3 shipped form (f32 one-hot via (z ⊗ (y ⊗ x)))
+  f32+direct  one iota-compare against the flat brick id
+  bf16+outer  bf16 operands (halved one-hot/table VMEM traffic)
+  bf16+direct both
+
+Every variant is cross-checked against the XLA einsum path before it is
+timed (bad Mosaic lowerings must fail loudly here, not ship). Prints one
+line per variant; pick the winner and bake it as the module defaults.
+
+Run (tunnel up):  python3 tools/dense_grid_sweep.py [--repeats N]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def check_parity(r, cam_ref, W=32, H=32, spp=8) -> float:
+    """Megakernel (vol_operand) vs XLA trace: max rel err (statistical
+    knife-edge scatter flips allowed; gross lowering bugs are not)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer, pack_camera
+    from bendy_tpu.ops.wavefront import trace as xla_trace
+    from bendy_tpu.utils.rng import render_key
+
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config, cam_ref)
+    B = W * H
+    pix = jnp.arange(B, dtype=jnp.uint32)
+    sub = jnp.zeros(B, jnp.uint32)
+    kern = make_pallas_tracer(r.arrays, W, H, spp, 1, cfg, vol_operand=True)
+    pal = kern(pack_camera(cam), jnp.uint32(7), jnp.uint32(0), pix, sub)
+    jax.block_until_ready(pal.radiance.x)
+    xla = xla_trace(r.arrays, cam, render_key(jnp.uint32(7), jnp.uint32(0)),
+                    pix, sub, W, H, spp, 1, cfg)
+    a = np.asarray(pal.radiance.x)
+    b = np.asarray(xla.radiance.x)
+    # mean-level agreement: per-lane equality is NOT expected (the operand
+    # path's bf16 rounding can flip knife-edge Bernoulli scatters)
+    return abs(float(a.mean() - b.mean())) / max(abs(float(b.mean())), 1e-6)
+
+
+def main() -> None:
+    import bendy_tpu.ops.volume as volume
+    import jax.numpy as jnp
+
+    from bendy_tpu.film import DeviceFilm
+    from bendy_tpu.render import Config, Renderer, RenderConfig, Subsample
+    from bendy_tpu.scene import load_scene
+
+    repeats = 5
+    if "--repeats" in sys.argv:
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+
+    results = {}
+    for dtype_name, direct in [("f32", False), ("f32", True),
+                               ("bf16", False), ("bf16", True)]:
+        volume.VOL_FETCH_DTYPE = (
+            jnp.float32 if dtype_name == "f32" else jnp.bfloat16
+        )
+        volume.VOL_ONEHOT_DIRECT = direct
+        tag = f"{dtype_name}+{'direct' if direct else 'outer'}"
+        scene = load_scene("scenes/dense_cloud.json.gz")
+        cam_ref = scene.find_by_tag("camera")
+        scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+        r = Renderer(scene, Config())
+        try:
+            rel = check_parity(Renderer(scene, Config(), use_pallas=False),
+                               cam_ref)
+        except Exception as e:  # pragma: no cover - device-dependent
+            print(f"{tag}: REJECTED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            results[tag] = {"ok": False}
+            continue
+        rc = RenderConfig(samples=64, subsample=Subsample(2))
+        base = int.from_bytes(os.urandom(4), "little")
+        film = DeviceFilm(256, 256)
+        t0 = time.time()
+        r.render(cam_ref, rc, film, seed=base)
+        film.block_until_ready()
+        compile_s = time.time() - t0
+        float(r.rays_traced)
+        mrays = []
+        for i in range(repeats):
+            film = DeviceFilm(256, 256)
+            r.rays_traced = 0.0
+            t0 = time.time()
+            for p in range(4):
+                r.render(cam_ref, rc, film, seed=base + 1 + 4 * i + p)
+            film.block_until_ready()
+            mrays.append(r.rays_traced / (time.time() - t0) / 1e6)
+        med = statistics.median(mrays)
+        results[tag] = {"ok": True, "mrays": round(med, 1),
+                        "best": round(max(mrays), 1),
+                        "mean_rel_err_vs_xla": round(rel, 5)}
+        print(f"{tag}: {med:.1f} Mrays/s median (best {max(mrays):.1f}), "
+              f"compile {compile_s:.1f}s, mean-rel-err {rel:.2e}, "
+              f"pallas={r.use_pallas}", flush=True)
+    volume.VOL_FETCH_DTYPE = jnp.float32
+    volume.VOL_ONEHOT_DIRECT = False
+    import json
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
