@@ -58,16 +58,24 @@ def mosaic_check() -> bool:
     return bool(rel.max() < 5e-3)
 
 
-def block_sweep() -> None:
-    """Mrays/s of prim_grid(256) for LOOP_BLOCK in (4, 8, 16, 32)."""
+def measure(n_prims: int, blk: int | None = None, block_rows: int | None = None,
+            repeats: int = 5) -> dict:
+    """Mrays/s of prim_grid(n_prims) at the given LOOP_BLOCK / kernel
+    block height (None = production defaults)."""
     import bendy_tpu.ops.intersect as intersect
+    import bendy_tpu.ops.pallas_trace as pallas_trace
     from bendy_tpu.film import DeviceFilm
     from bendy_tpu.models.prim_grid import build_prim_grid
     from bendy_tpu.render import Config, Renderer, RenderConfig, Subsample
 
-    for blk in (4, 8, 16, 32):
+    old_blk = intersect.LOOP_BLOCK
+    old_rows_for = pallas_trace.rows_for
+    if blk is not None:
         intersect.LOOP_BLOCK = blk  # late-bound by prim_tables/nearest_hit_looped
-        scene = build_prim_grid(256)
+    if block_rows is not None:
+        pallas_trace.rows_for = lambda cfg: block_rows  # late-bound too
+    try:
+        scene = build_prim_grid(n_prims)
         cam_ref = scene.find_by_tag("camera")
         scene.get_object(cam_ref).inner.aspect_ratio = 1.0
         r = Renderer(scene, Config(max_bounces=4))
@@ -80,7 +88,7 @@ def block_sweep() -> None:
         compile_s = time.time() - t0
         float(r.rays_traced)
         mrays = []
-        for i in range(5):
+        for i in range(repeats):
             film = DeviceFilm(256, 256)
             r.rays_traced = 0.0
             t0 = time.time()
@@ -88,14 +96,49 @@ def block_sweep() -> None:
                 r.render(cam_ref, rc, film, seed=base + 1 + 4 * i + p)
             film.block_until_ready()
             mrays.append(r.rays_traced / (time.time() - t0) / 1e6)
-        print(f"LOOP_BLOCK={blk}: compile {compile_s:.1f}s, "
-              f"median {statistics.median(mrays):.1f} best {max(mrays):.1f} "
-              f"Mrays/s, pallas={r.use_pallas}", flush=True)
-    intersect.LOOP_BLOCK = 8
+        return {"n_prims": n_prims, "loop_block": blk, "block_rows": block_rows,
+                "compile_s": round(compile_s, 1),
+                "mrays": round(statistics.median(mrays), 1),
+                "best": round(max(mrays), 1), "pallas": r.use_pallas}
+    finally:
+        intersect.LOOP_BLOCK = old_blk
+        pallas_trace.rows_for = old_rows_for
+
+
+def block_sweep(n_prims: int = 256) -> None:
+    """Mrays/s across LOOP_BLOCK x kernel block height (VERDICT r4 #2:
+    joint sweep; the round-3 sweep varied LOOP_BLOCK alone)."""
+    for blk in (4, 8, 16, 32):
+        for rows in (None, 8, 32):
+            res = measure(n_prims, blk, rows)
+            print(f"LOOP_BLOCK={blk} rows={rows}: {res['mrays']} median "
+                  f"{res['best']} best Mrays/s (compile {res['compile_s']}s, "
+                  f"pallas={res['pallas']})", flush=True)
 
 
 if __name__ == "__main__":
     ok = mosaic_check()
     if "--sweep" in sys.argv:
-        block_sweep()
+        n = 256
+        if "--prims" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--prims") + 1])
+        block_sweep(n)
+    if "--flat-ab" in sys.argv:
+        import bendy_tpu.ops.pallas_trace as pt
+
+        for flat in (True, False, True, False):  # interleaved: link drift
+            pt.FLAT_TABLES = flat
+            for n in (258, 512):
+                res = measure(n, repeats=3)
+                print(f"flat={flat} n={n}: {res['mrays']} median "
+                      f"{res['best']} best Mrays/s", flush=True)
+        pt.FLAT_TABLES = True
+    if "--scaling" in sys.argv:
+        # the VERDICT r4 #2 target row: hold >= 50 Mrays/s at 512 prims
+        import json
+
+        rows = [measure(n) for n in (258, 512)]
+        for res in rows:
+            print(res, flush=True)
+        print(json.dumps(rows))
     sys.exit(0 if ok else 1)
