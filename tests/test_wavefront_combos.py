@@ -168,8 +168,8 @@ def test_blackhole_cloud_matches_native_oracle():
     cam_ref = scene.find_by_tag("camera")
     scene.get_object(cam_ref).inner.aspect_ratio = 1.0
 
-    W = H = 24
-    spp = 96
+    W = H = 32
+    spp = 256
     r = Renderer(scene, Config(max_bounces=2, volume_step=0.6))
     cfg = r.trace_config(r.config, cam_ref)
     assert cfg.geodesic and cfg.has_volumes
@@ -181,16 +181,20 @@ def test_blackhole_cloud_matches_native_oracle():
     )
     ours = np.stack([np.asarray(c).reshape(H, W) for c in res.radiance], -1) / spp
 
-    ref = oracle_render_scene(
-        scene, W, H, 128, seed=9, max_bounces=2, volume_step=0.6,
-        geo=r.trace_config(r.config, cam_ref).geo,
-    )
+    okw = dict(max_bounces=2, volume_step=0.6,
+               geo=r.trace_config(r.config, cam_ref).geo)
+    ref = oracle_render_scene(scene, W, H, 512, seed=9, **okw)
 
     # statistical gates (different RNG streams): systematic estimator or
-    # capture-rule differences shift whole regions. Same class of
-    # thresholds as the cornell/prim-grid oracle gates.
-    assert np.abs((ours - ref).mean(axis=(1, 2))).max() < 0.08
-    assert np.abs((ours - ref).mean(axis=(0, 2))).max() < 0.08
-    assert abs(ours.mean() - ref.mean()) < 0.03
+    # capture-rule differences shift whole regions. Cornell-class
+    # tightness (VERDICT r3 weak #3): row/col means < 0.04, and the
+    # structural correlation is held to the oracle's OWN seed-to-seed
+    # noise ceiling at our spp (the fidelity.py pattern) instead of a
+    # loose absolute 0.95.
+    assert np.abs((ours - ref).mean(axis=(1, 2))).max() < 0.04
+    assert np.abs((ours - ref).mean(axis=(0, 2))).max() < 0.04
+    assert abs(ours.mean() - ref.mean()) < 0.02
     corr = np.corrcoef(ours.mean(-1).ravel(), ref.mean(-1).ravel())[0, 1]
-    assert corr > 0.95, corr
+    ceil = oracle_render_scene(scene, W, H, spp, seed=31, **okw)
+    corr_ceil = np.corrcoef(ceil.mean(-1).ravel(), ref.mean(-1).ravel())[0, 1]
+    assert corr > corr_ceil - 0.01, (corr, corr_ceil)
