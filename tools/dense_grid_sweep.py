@@ -53,6 +53,50 @@ def check_parity(r, cam_ref, W=32, H=32, spp=8) -> float:
     return abs(float(a.mean() - b.mean())) / max(abs(float(b.mean())), 1e-6)
 
 
+def probe_serialization() -> dict:
+    """Prove (or refute) the VPU/MXU serialization claim with phase times.
+
+    Measures the dense_cloud kernel's per-block-iteration wall twice:
+    the production kernel, and the same kernel with the density fetch
+    stubbed to a constant (identical control-flow machinery, zero MXU
+    work; per-iteration rate comparisons stay valid because the stats
+    tile counts iterations, not rays). t_mxu_implied = t_full - t_stub.
+    If t_stub + implied MXU-at-measured-duty ~= t_full, the fetch and
+    the wavefront VPU work serialize (the fetch feeds the very next
+    Bernoulli scatter decision, so no overlap is schedulable).
+    """
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from perf_report import loop_body_ops, measure_iters_per_sec
+
+    import bendy_tpu.ops.volume as volume
+
+    out = {}
+    orig = volume.density_sample
+    for tag, stub in (("full", False), ("stub", True)):
+        if stub:
+            volume.density_sample = (
+                lambda scn, hit, coord, nearest=False, grid_t=None:
+                jnp.zeros_like(coord.x) + 0.35
+            )
+        try:
+            info = loop_body_ops("dense_cloud")
+            it_s, rays_s = measure_iters_per_sec(info)
+            out[tag] = {"block_iters_per_sec": round(it_s),
+                        "us_per_iter": round(1e6 / it_s, 3)}
+        finally:
+            volume.density_sample = orig
+    t_mxu = out["full"]["us_per_iter"] - out["stub"]["us_per_iter"]
+    out["implied_mxu_us_per_iter"] = round(t_mxu, 3)
+    out["mxu_flops_per_iter"] = 2 * 128 * 512 * 16 * 128  # padded, 32^3
+    if t_mxu > 0:
+        out["mxu_util_during_phase"] = round(
+            out["mxu_flops_per_iter"] / (t_mxu * 1e-6) / 1.97e14, 3
+        )
+    return out
+
+
 def main() -> None:
     import bendy_tpu.ops.volume as volume
     import jax.numpy as jnp
@@ -64,6 +108,11 @@ def main() -> None:
     repeats = 5
     if "--repeats" in sys.argv:
         repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    if "--probe-serial" in sys.argv:
+        import json
+
+        print(json.dumps(probe_serialization()))
+        return
 
     results = {}
     for dtype_name, direct in [("f32", False), ("f32", True),
