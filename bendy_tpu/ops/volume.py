@@ -53,6 +53,11 @@ VOL_FETCH_DTYPE = jnp.bfloat16
 # the flattened brick id instead of the (z ⊗ (y ⊗ x)) outer product —
 # drops the [nby*nbx, lanes] intermediate and its multiplies.
 VOL_ONEHOT_DIRECT = True
+# VOL_PROBE_NO_DOT: perf probe ONLY (tools/dense_grid_sweep.py
+# --probe-serial): replace the MXU contraction with a cheap slice of the
+# one-hot so the fetch's VPU side (one-hot build + trilinear apply) can
+# be timed without the dot. Produces WRONG densities — never production.
+VOL_PROBE_NO_DOT = False
 
 
 def pack_vol_operand(vol) -> "np.ndarray":
@@ -322,11 +327,20 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
                 whot = (wbz[z0 : z0 + s][:, None] * wby_x[None]).reshape(
                     (s * nby * nbx,) + shape
                 )
-            part = jax.lax.dot_general(
-                tab[g][:, z0 * nby * nbx : (z0 + s) * nby * nbx], whot,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [ap³, *lanes]
+            if VOL_PROBE_NO_DOT:  # perf probe: keep build, skip the MXU
+                part = (
+                    whot[: ap * ap * ap].astype(jnp.float32)
+                    if s * nby * nbx >= ap * ap * ap
+                    else jnp.concatenate(
+                        [whot] * (-(-(ap * ap * ap) // (s * nby * nbx)))
+                    )[: ap * ap * ap].astype(jnp.float32)
+                )
+            else:
+                part = jax.lax.dot_general(
+                    tab[g][:, z0 * nby * nbx : (z0 + s) * nby * nbx], whot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [ap³, *lanes]
             t = part if t is None else t + part
         t3 = t.reshape((ap, ap, ap) + shape)
         r = jnp.sum(t3 * wlx[None, None], axis=2)  # [ap, ap, *lanes]

@@ -74,25 +74,30 @@ def probe_serialization() -> dict:
 
     out = {}
     orig = volume.density_sample
-    for tag, stub in (("full", False), ("stub", True)):
-        if stub:
-            volume.density_sample = (
-                lambda scn, hit, coord, nearest=False, grid_t=None:
-                jnp.zeros_like(coord.x) + 0.35
-            )
+    for tag in ("full", "no_dot", "stub"):
         try:
+            if tag == "stub":
+                volume.density_sample = (
+                    lambda scn, hit, coord, nearest=False, grid_t=None:
+                    jnp.zeros_like(coord.x) + 0.35
+                )
+            volume.VOL_PROBE_NO_DOT = tag == "no_dot"
             info = loop_body_ops("dense_cloud")
             it_s, rays_s = measure_iters_per_sec(info)
             out[tag] = {"block_iters_per_sec": round(it_s),
                         "us_per_iter": round(1e6 / it_s, 3)}
         finally:
             volume.density_sample = orig
-    t_mxu = out["full"]["us_per_iter"] - out["stub"]["us_per_iter"]
-    out["implied_mxu_us_per_iter"] = round(t_mxu, 3)
+            volume.VOL_PROBE_NO_DOT = False
+    t_fetch = out["full"]["us_per_iter"] - out["stub"]["us_per_iter"]
+    t_dot = out["full"]["us_per_iter"] - out["no_dot"]["us_per_iter"]
+    out["fetch_us_per_iter"] = round(t_fetch, 3)
+    out["dot_us_per_iter"] = round(t_dot, 3)
+    out["fetch_vpu_us_per_iter"] = round(t_fetch - t_dot, 3)
     out["mxu_flops_per_iter"] = 2 * 128 * 512 * 16 * 128  # padded, 32^3
-    if t_mxu > 0:
-        out["mxu_util_during_phase"] = round(
-            out["mxu_flops_per_iter"] / (t_mxu * 1e-6) / 1.97e14, 3
+    if t_dot > 0:
+        out["mxu_util_during_dot"] = round(
+            out["mxu_flops_per_iter"] / (t_dot * 1e-6) / 1.97e14, 3
         )
     return out
 
@@ -114,14 +119,23 @@ def main() -> None:
         print(json.dumps(probe_serialization()))
         return
 
+    variants = [("f32", False, 4), ("f32", True, 4),
+                ("bf16", False, 4), ("bf16", True, 4)]
+    if "--bricks" in sys.argv:
+        # brick-size sweep (r4 probe: the dot is VMEM-bandwidth-bound on
+        # the [K, lanes] one-hot stream; bigger bricks shrink K 8x per
+        # doubling and even cut FLOPs — apron overhead (bs+1)^3/bs^3
+        # falls with bs)
+        variants = [("bf16", True, 4), ("bf16", True, 8), ("bf16", True, 16)]
     results = {}
-    for dtype_name, direct in [("f32", False), ("f32", True),
-                               ("bf16", False), ("bf16", True)]:
+    orig_brick = volume.VOL_BRICK
+    for dtype_name, direct, brick in variants:
         volume.VOL_FETCH_DTYPE = (
             jnp.float32 if dtype_name == "f32" else jnp.bfloat16
         )
         volume.VOL_ONEHOT_DIRECT = direct
-        tag = f"{dtype_name}+{'direct' if direct else 'outer'}"
+        volume.VOL_BRICK = brick
+        tag = f"{dtype_name}+{'direct' if direct else 'outer'}+b{brick}"
         scene = load_scene("scenes/dense_cloud.json.gz")
         cam_ref = scene.find_by_tag("camera")
         scene.get_object(cam_ref).inner.aspect_ratio = 1.0
@@ -158,8 +172,9 @@ def main() -> None:
         print(f"{tag}: {med:.1f} Mrays/s median (best {max(mrays):.1f}), "
               f"compile {compile_s:.1f}s, mean-rel-err {rel:.2e}, "
               f"pallas={r.use_pallas}", flush=True)
-    volume.VOL_FETCH_DTYPE = jnp.float32
-    volume.VOL_ONEHOT_DIRECT = False
+    volume.VOL_FETCH_DTYPE = jnp.bfloat16
+    volume.VOL_ONEHOT_DIRECT = True
+    volume.VOL_BRICK = orig_brick
     import json
 
     print(json.dumps(results))
