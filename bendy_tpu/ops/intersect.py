@@ -604,6 +604,10 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int | None = None,
                 col(scn.light_face_valid[:, fidx]),  # +22
             ]
         out["light"] = xp.concatenate(cols, axis=1)  # [L, 5+23F], unpadded
+    for k, ncols in SWEEP_NCOLS.items():
+        # the flat-1D SMEM indexing recovers geometry from SWEEP_NCOLS:
+        # a layout edit here without updating it must fail loudly
+        assert k not in out or out[k].shape[1] == ncols, (k, out[k].shape)
     return out
 
 
