@@ -291,12 +291,14 @@ def main() -> None:
             "",
             "Method: tools/perf_report.py — jaxpr op count of the exact loop",
             "body × measured kernel iteration rate (per-block counters in the",
-            "stats tile) vs the v5e VPU peak (8×128 lanes × 4 ALUs × 0.94 GHz",
-            "= 3.85e12 issue slots/s, each able to retire an FMA = 2 ops).",
-            "A jaxpr count can't see which mul+add pairs Mosaic fuses, so",
-            "utilization is a RANGE: ops/(2×peak) .. ops/peak. Sustained",
-            "ops/s above the issue peak (cloud, blackhole) proves the",
-            "compiler is FMA-fusing. Conventions in the tool docstring.",
+            "stats tile). The theoretical column uses the modeled v5e issue",
+            "peak (8×128 lanes × 4 ALUs × 0.94 GHz = 3.85e12 slots/s, lo",
+            "assumes every op FMA-pairs, hi assumes none do) — kept for",
+            "cross-round comparability, but the r4 microbench showed the",
+            "model UNDERESTIMATES the chip: measured chains sustain 7.1e12",
+            "jaxpr-ops/s whether or not the mix is FMA-pairable (fusion",
+            "ratio 1.0), so the MEASURED MFU column is authoritative.",
+            "Conventions in the tool docstring.",
             "",
             "MXU column: the brick-table density fetch is the loop's only",
             "dot_general; sustained dot-FLOP/s vs the v5e bf16 MXU peak",

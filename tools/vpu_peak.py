@@ -19,6 +19,11 @@ shape, same loop structure — so "sustained / measured fma ceiling" is a
 defensible single utilization number, and the fma:nofma ratio says how
 much fusion headroom the chip actually exposes (2.0 = every pair fuses).
 
+Measured on this v5e (2026-08-19): fma 7.096e12, nofma 7.093e12 — ratio
+1.00. Both mixes sustain 1.84x the MODELED issue peak (3.85e12), so the
+4-ALU×0.94GHz model underestimates the chip and pairing does not matter;
+7.1e12 jaxpr-ops/s is the real ceiling for mul/add-class vector work.
+
 Run (tunnel up):  python3 tools/vpu_peak.py [--rows 16] [--iters 2000000]
 (~70 ms/call at peak: the 4-call chain swamps the ~30 ms tunnel sync)
 Writes nothing; paste the JSON line into PERF.md's header via
