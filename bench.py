@@ -193,16 +193,35 @@ def main() -> None:
     print(json.dumps(line))
 
     if "--full" in sys.argv:
-        def row(res, wl):
-            return {
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+
+        def occ(name, width=256, height=256, spp=64, sub=2, config=Config()):
+            # live-lane occupancy from the stats-tile counters (one
+            # untimed kernel call; exact ratio) — per-scene context for
+            # the Mrays figures (bendy-tracer has no analogue: rayon
+            # threads never idle-mask)
+            try:
+                from perf_report import occupancy
+
+                return occupancy(name, width, height, spp, sub, config=config)
+            except Exception as e:  # pragma: no cover - device-dependent
+                return f"error: {e}"[:120]
+
+        def row(res, wl, occupancy=None):
+            out = {
                 "mrays": round(res["median"], 2),
                 "mrays_best": round(res["best"], 2),
                 "seconds": round(res["seconds_median"], 3),
                 "workload": wl,
             }
+            if occupancy is not None:
+                out["occupancy"] = occupancy
+            return out
 
         results = {
-            "cornell": row(res, workload("cornell", 256, 256, 64, 2, passes=4))
+            "cornell": row(res, workload("cornell", 256, 256, 64, 2, passes=4),
+                           occ("cornell"))
         }
         for name, spp, sub in [
             ("cornell2", 64, 2),
@@ -213,9 +232,11 @@ def main() -> None:
         ]:
             rr = timed_render(load_scene(f"scenes/{name}.json.gz"), 256, 256, spp, sub,
                               passes=4)
-            results[name] = row(rr, workload(name, 256, 256, spp, sub, passes=4))
+            results[name] = row(rr, workload(name, 256, 256, spp, sub, passes=4),
+                                occ(name, spp=spp, sub=sub))
             print(f"{name}: {rr['median']:.1f} Mrays/s median "
-                  f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
+                  f"({rr['seconds_median']:.2f}s) occ={results[name]['occupancy']}",
+                  file=sys.stderr)
         bh_cfg = Config(max_bounces=2)
         rr = timed_render(
             load_scene("scenes/blackhole.json.gz"), 512, 512, 32, 1,
@@ -224,7 +245,8 @@ def main() -> None:
         # the lensed north-star config, linearly projected to a v5e-8 pod
         proj = rr["seconds_median"] * (1920 * 1080 * 256) / (512 * 512 * 32) / 8
         results["blackhole_geodesic"] = dict(
-            row(rr, workload("blackhole", 512, 512, 32, 1, bh_cfg, passes=4)),
+            row(rr, workload("blackhole", 512, 512, 32, 1, bh_cfg, passes=4),
+                occ("blackhole", 512, 512, 32, 1, bh_cfg)),
             projected_1080p_256spp_v5e8_s=round(proj, 1),
         )
         print(
@@ -240,7 +262,8 @@ def main() -> None:
             bhc_cfg, passes=4,
         )
         results["blackhole_cloud"] = row(
-            rr, workload("blackhole_cloud", 512, 288, 32, 1, bhc_cfg, passes=4))
+            rr, workload("blackhole_cloud", 512, 288, 32, 1, bhc_cfg, passes=4),
+            occ("blackhole_cloud", 512, 288, 32, 1, bhc_cfg))
         print(f"blackhole_cloud: {rr['median']:.1f} Mrays/s median "
               f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
         # large-scene looped sweep (auto policy: 258 prims > threshold).
@@ -253,7 +276,8 @@ def main() -> None:
                           pg_cfg, passes=4)
         results["prim_grid_256_looped"] = dict(
             row(rr, workload("prim_grid_256 (generated)", 256, 256, 16, 1,
-                             pg_cfg, passes=4)),
+                             pg_cfg, passes=4),
+                occ("prim_grid_256", 256, 256, 16, 1, pg_cfg)),
             pallas=rr["pallas"])
         print(f"prim_grid_256 (looped sweep): {rr['median']:.1f} Mrays/s median "
               f"({rr['seconds_median']:.2f}s)", file=sys.stderr)

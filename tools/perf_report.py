@@ -108,7 +108,7 @@ def count_ops(jaxpr) -> dict:
 
 
 def loop_body_ops(scene_name: str, width=256, height=256, spp=64, subsample=2,
-                  block_rows=None):
+                  block_rows=None, config=None):
     """Per-INNER-iteration op counts of the production kernel loop body."""
     import jax
     import jax.numpy as jnp
@@ -126,7 +126,8 @@ def loop_body_ops(scene_name: str, width=256, height=256, spp=64, subsample=2,
         scene = load_scene(f"scenes/{scene_name}.json.gz")
     cam_ref = scene.find_by_tag("camera")
     scene.get_object(cam_ref).inner.aspect_ratio = width / height
-    r = Renderer(scene, Config(), use_pallas=False)
+    r = Renderer(scene, Config() if config is None else config,
+                 use_pallas=False)
     cam = r.camera_params(cam_ref)
     cfg = r.trace_config(r.config, cam_ref)
     if block_rows is None:
@@ -235,6 +236,40 @@ def measure_iters_per_sec(info, repeats=5, chain=4):
     return it_s, rays_s
 
 
+def occupancy(scene_name, width=256, height=256, spp=64, subsample=2,
+              config=None) -> float:
+    """Live-lane occupancy = rays / (iters × lanes) from ONE untimed
+    kernel execution (both are exact per-block counters in the stats
+    tile, so no timing precision is involved). Used by ``bench.py
+    --full`` to attach occupancy to every scene row."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bendy_tpu.ops.pallas_trace import lane_order, make_pallas_tracer
+
+    info = loop_body_ops(scene_name, width, height, spp, subsample,
+                         config=config)
+    r = info["renderer"]
+    cfg = info["cfg"]
+    nn = subsample * subsample
+    kern = make_pallas_tracer(r.arrays, width, height, spp, subsample, cfg,
+                              block_rows=info["block_rows"],
+                              vol_operand=r.vol_operand())
+    B = width * height * nn
+    order = lane_order(width, height, nn, info["block_rows"] * 128)
+    if order is not None:
+        pix, sub = order[0], order[1]
+    else:
+        local = jnp.arange(B, dtype=jnp.uint32)
+        pix, sub = local // jnp.uint32(nn), local % jnp.uint32(nn)
+    base = int.from_bytes(os.urandom(4), "little")
+    out = kern(r._cam_packed, jnp.uint32(base), jnp.uint32(0), pix, sub)
+    rays, iters = jax.device_get((out.rays, out.iters))
+    lanes = info["block_rows"] * 128
+    return round(float(rays) / (float(iters) * lanes), 3)
+
+
 def report(scene_name="cornell") -> dict:
     info = loop_body_ops(scene_name)
     it_s, rays_s = measure_iters_per_sec(info)
@@ -328,6 +363,28 @@ def main() -> None:
             lines += ["", f"Measured ceilings: fma {peaks['fma_ops_per_sec']}"
                       f" ops/s, non-fma {peaks['nofma_ops_per_sec']} ops/s,"
                       f" fusion ratio {peaks['fusion_ratio']}."]
+        lines += [
+            "",
+            "Why cornell sits lowest: the phase decomposition",
+            "(tools/phase_probe.py -> docs/phase_probe.json) splits its",
+            "wall per block-iteration into sweep ~43% / shade ~38% / loop",
+            "glue ~40% (shares overlap: stubbing one phase lets its",
+            "consumers fold). The sweep retires ~3e12 jaxpr-ops/s — near",
+            "the mix ceiling — while shade's 174 jaxpr ops hide",
+            "divide/rsqrt/poly-trig multi-slot cost, so cornell's MFU gap",
+            "vs cloud/blackhole is op MIX, not schedulable overhead:",
+            "an interleaved knob A/B (tools/knob_ab.py) measured",
+            "pending_check 16/32 at noise level and 8-row blocks 14%",
+            "WORSE, and per-pass dispatch fusion (tools/dispatch_probe.py,",
+            "lax.fori over passes inside one jit, bit-identical film) won",
+            "only 0.3 ms/pass — the schedule is at its swept optimum.",
+            "Occupancy decomposes structurally: at k=2 a dying lane idles",
+            "~half an iteration per path (~13%) and a block drains on the",
+            "max over 2048 lanes of each lane's Σ(64 iid path lengths)",
+            "(~20%) — both inherent to regeneration, not fixable without",
+            "cross-lane work stealing, which needs gathers/atomics this",
+            "ISA does not expose.",
+        ]
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with open(os.path.join(root, "PERF.md"), "w") as f:
             f.write("\n".join(lines) + "\n")
