@@ -142,6 +142,11 @@ def measure_slope(info, repeats=5, chains=(2, 10)):
     delta by the wall delta cancels every per-sync constant:
         rate = (I(c2) - I(c1)) / (t(c2) - t(c1)).
     The kernel is built once (one compile per variant).
+
+    The sync INSIDE the timed region is a scalar fetch — axon's
+    block_until_ready on a bare jit result can return early, and that
+    error scales with the chain length (measured 1.65x-fast slopes), so
+    it does NOT cancel; the scalar-fetch RTT is constant and does.
     """
     import time
 
@@ -167,7 +172,7 @@ def measure_slope(info, repeats=5, chains=(2, 10)):
         pix, sub = local // jnp.uint32(nn), local % jnp.uint32(nn)
     base = int.from_bytes(os.urandom(4), "little")
     out = kern(r._cam_packed, jnp.uint32(base), jnp.uint32(0), pix, sub)
-    jax.block_until_ready(out.radiance.x)  # compile
+    float(out.radiance.x.mean())  # compile + honest sync
     seed = base
     samples = {c: [] for c in chains}
     for _ in range(repeats):
@@ -180,7 +185,7 @@ def measure_slope(info, repeats=5, chains=(2, 10)):
                          pix, sub)
                 acc = o.radiance.x if acc is None else acc + o.radiance.x
                 stats.append(o.iters)
-            jax.block_until_ready(acc)
+            float(acc.mean())  # scalar fetch: the only honest sync here
             dt = time.time() - t0
             iters = float(np.sum(jax.device_get(stats)))
             samples[c].append((iters, dt))
