@@ -58,6 +58,19 @@ VOL_ONEHOT_DIRECT = True
 # one-hot so the fetch's VPU side (one-hot build + trilinear apply) can
 # be timed without the dot. Produces WRONG densities — never production.
 VOL_PROBE_NO_DOT = False
+# VOL_LANE_CHUNKS: split the fetch over leading lane rows into this many
+# sequential chunks (one-hot build -> dot -> trilinear per chunk). The
+# hypothesis was that chunk k+1's one-hot build (VPU) could hide behind
+# chunk k's dot (MXU) — the only overlap the march's step->decision
+# serialization leaves schedulable. REFUTED on hardware
+# (tools/dense_grid_sweep.py --lane-chunks, v5e dense_cloud, interleaved
+# with 1-chunk controls): 1x 509/510 | 2x 255 | 4x 224 Mrays/s — Mosaic
+# issues the chunks strictly in order, and each smaller-N dot pays its
+# own MXU pipeline fill/drain, so fragmenting the (125x512)x(512x2048)
+# contraction doubles its overhead share instead of hiding the build.
+# Keep 1. (Same lesson as the 8^3-brick sweep: this contraction wants
+# the largest N and the fewest dot calls the VMEM budget allows.)
+VOL_LANE_CHUNKS = 1
 
 
 def pack_vol_operand(vol) -> "np.ndarray":
@@ -262,6 +275,33 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
     nbx, nby, nbz = -(-W // bs), -(-H // bs), -(-D // bs)
     NB = nbx * nby * nbz
     assert grid_t.shape == (G, ap * ap * ap, NB), grid_t.shape
+
+    size = hit.vol_size
+    gidx = jnp.maximum(hit.vol_grid, 0)
+    # lane-row chunking (VOL_LANE_CHUNKS): run the whole fetch per slice
+    # of the leading lane dim so chunk k+1's VPU one-hot build can issue
+    # behind chunk k's MXU dot. Leading-dim slices/concat keep the
+    # kernel's native (rows, 128) tiling (middle/trailing dims untouched).
+    nc = VOL_LANE_CHUNKS
+    if nc > 1 and len(cx.shape) == 2 and cx.shape[0] % nc == 0:
+        step_r = cx.shape[0] // nc
+        parts = []
+        for c0 in range(0, cx.shape[0], step_r):
+            sl = slice(c0, c0 + step_r)
+            parts.append(_fetch_operand(
+                scn, grid_t, cx[sl], cy[sl], cz[sl],
+                V3(size.x[sl], size.y[sl], size.z[sl]), gidx[sl], nearest,
+            ))
+        return jnp.concatenate(parts, axis=0)
+    return _fetch_operand(scn, grid_t, cx, cy, cz, size, gidx, nearest)
+
+
+def _fetch_operand(scn, grid_t, cx, cy, cz, size, gidx, nearest):
+    """One brick-table fetch over (a lane-row slice of) the batch."""
+    G, D, H, W = scn.vol_grid.shape
+    bs = VOL_BRICK
+    ap = bs + 1
+    nbx, nby, nbz = -(-W // bs), -(-H // bs), -(-D // bs)
     shape = cx.shape
 
     def axis(c, hi):
@@ -273,7 +313,6 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
         i1 = jnp.minimum(i0 + 1, hi.astype(jnp.int32))
         return i0, i1, c - c0
 
-    size = hit.vol_size
     ix0, ix1, fx = axis(cx, size.x)
     iy0, iy1, fy = axis(cy, size.y)
     iz0, iz1, fz = axis(cz, size.z)
@@ -310,7 +349,6 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
     itemsize = jnp.dtype(dtype).itemsize
     zgrp = max(1, min(nbz, (8 << 20) // max(nby * nbx * B * itemsize, 1)))
     out = jnp.zeros_like(cx)
-    gidx = jnp.maximum(hit.vol_grid, 0)
     tab = grid_t
     for g in range(G):
         t = None  # [ap³, *lanes]

@@ -224,6 +224,48 @@ def test_megakernel_multi_grid_operand():
     assert float(pal.rays) == pytest.approx(float(xla.rays))
 
 
+def test_lane_chunked_fetch_bit_identical():
+    """VOL_LANE_CHUNKS slices the brick-table fetch over leading lane
+    rows (an MXU/VPU overlap knob — see ops/volume.py); each lane's math
+    is untouched, so any chunk count must be BIT-identical to the
+    1-chunk fetch, for both trilinear and nearest modes."""
+    import types
+
+    import numpy as np
+
+    import bendy_tpu.ops.volume as volume
+    from bendy_tpu.utils.v3 import V3
+
+    rng = np.random.default_rng(11)
+    G, D, H, W = 1, 8, 8, 8
+    grid = rng.random((G, D, H, W)).astype(np.float32)
+    scn = types.SimpleNamespace(vol_grid=grid)
+    tab = jnp.asarray(volume.pack_vol_operand(grid))
+    shape = (8, 16)
+    c = lambda: jnp.asarray(rng.random(shape, dtype=np.float32))
+    coord = V3(c(), c(), c())
+    size = V3(jnp.full(shape, W - 1.0), jnp.full(shape, H - 1.0),
+              jnp.full(shape, D - 1.0))
+    hit = types.SimpleNamespace(vol_size=size,
+                                vol_grid=jnp.zeros(shape, jnp.int32))
+    try:
+        for nearest in (False, True):
+            volume.VOL_LANE_CHUNKS = 1
+            base = np.asarray(volume.density_sample(
+                scn, hit, coord, nearest=nearest, grid_t=tab))
+            for nc in (2, 4):
+                volume.VOL_LANE_CHUNKS = nc
+                out = np.asarray(volume.density_sample(
+                    scn, hit, coord, nearest=nearest, grid_t=tab))
+                assert (out == base).all(), (nearest, nc)
+            # einsum reference path: same math, independent formulation
+            ref = np.asarray(volume.density_sample(
+                scn, hit, coord, nearest=nearest))
+            assert np.max(np.abs(base - ref)) < 1e-5
+    finally:
+        volume.VOL_LANE_CHUNKS = 1
+
+
 def test_megakernel_geodesic_scene():
     """RK4 chord-stepped propagation inside the kernel == XLA."""
     W = H = 16

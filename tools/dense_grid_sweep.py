@@ -119,23 +119,35 @@ def main() -> None:
         print(json.dumps(probe_serialization()))
         return
 
-    variants = [("f32", False, 4), ("f32", True, 4),
-                ("bf16", False, 4), ("bf16", True, 4)]
+    variants = [("f32", False, 4, 1), ("f32", True, 4, 1),
+                ("bf16", False, 4, 1), ("bf16", True, 4, 1)]
     if "--bricks" in sys.argv:
         # brick-size sweep (r4 probe: the dot is VMEM-bandwidth-bound on
         # the [K, lanes] one-hot stream; bigger bricks shrink K 8x per
         # doubling and even cut FLOPs — apron overhead (bs+1)^3/bs^3
         # falls with bs)
-        variants = [("bf16", True, 4), ("bf16", True, 8), ("bf16", True, 16)]
+        variants = [("bf16", True, 4, 1), ("bf16", True, 8, 1),
+                    ("bf16", True, 16, 1)]
+    if "--lane-chunks" in sys.argv:
+        # lane-row chunking A/B: chunk k+1's one-hot build (VPU) is
+        # independent of chunk k's dot (MXU) — if Mosaic's in-order issue
+        # lets the systolic array run ahead, the build hides behind the
+        # dot (the only overlap the march's step->decision serialization
+        # leaves schedulable). Interleaved with the 1-chunk control.
+        variants = [("bf16", True, 4, 1), ("bf16", True, 4, 2),
+                    ("bf16", True, 4, 4), ("bf16", True, 4, 1)]
     results = {}
     orig_brick = volume.VOL_BRICK
-    for dtype_name, direct, brick in variants:
+    for vi, (dtype_name, direct, brick, chunks) in enumerate(variants):
         volume.VOL_FETCH_DTYPE = (
             jnp.float32 if dtype_name == "f32" else jnp.bfloat16
         )
         volume.VOL_ONEHOT_DIRECT = direct
         volume.VOL_BRICK = brick
+        volume.VOL_LANE_CHUNKS = chunks
         tag = f"{dtype_name}+{'direct' if direct else 'outer'}+b{brick}"
+        if chunks != 1 or "--lane-chunks" in sys.argv:
+            tag += f"+c{chunks}#{vi}"
         scene = load_scene("scenes/dense_cloud.json.gz")
         cam_ref = scene.find_by_tag("camera")
         scene.get_object(cam_ref).inner.aspect_ratio = 1.0
@@ -175,6 +187,7 @@ def main() -> None:
     volume.VOL_FETCH_DTYPE = jnp.bfloat16
     volume.VOL_ONEHOT_DIRECT = True
     volume.VOL_BRICK = orig_brick
+    volume.VOL_LANE_CHUNKS = 1
     import json
 
     print(json.dumps(results))
