@@ -41,11 +41,23 @@ DEFAULT_ROWS = 16  # sublane rows per block -> 2048 lanes/block. Re-swept
 #   Mrays/s; blackhole 2695 @ 16; cloud 1233 @ 16; 8 over-fragments all).
 #   Pre-tiling, flat scenes preferred 32 (strip blocks were incoherent
 #   anyway, so amortization won).
+DENSE_OPERAND_ROWS = 32  # dense-grid operand scenes: 32 rows as two
+#   16-row fetch chunks (see rows_for / ops.volume.VOL_LANE_CHUNKS)
 
 
-def rows_for(cfg) -> int:
-    """Swept block height (see DEFAULT_ROWS; tools/block_sweep.py)."""
-    return DEFAULT_ROWS
+def rows_for(cfg, vol_operand: bool = False) -> int:
+    """Swept block height (see DEFAULT_ROWS; tools/block_sweep.py).
+
+    Dense-grid operand scenes run 32 rows split into two 16-row fetch
+    chunks (ops/volume.VOL_LANE_CHUNKS): the second chunk's one-hot
+    build issues behind the first chunk's MXU dot, hiding VPU build time
+    the march's step->decision serialization otherwise exposes. Measured
+    interleaved on v5e dense_cloud (tools/dense_grid_sweep.py
+    --lane-chunks[-deep]): 16r/1c 508-512, 32r/1c 488, 32r/2c 514-518,
+    64r/4c 495 Mrays/s — the 32r/2c combination is the only variant that
+    beats every 16-row control; deeper blocks lose to occupancy decay.
+    """
+    return DENSE_OPERAND_ROWS if vol_operand else DEFAULT_ROWS
 
 N_OUT = 10  # rx ry rz ax ay az nx ny nz dep
 FLAT_TABLES = True  # ship looped-sweep tables 1D (hoisted row addressing);
@@ -126,7 +138,7 @@ def make_pallas_tracer(
     from jax.experimental.pallas import tpu as pltpu
 
     if block_rows is None:
-        block_rows = rows_for(cfg)
+        block_rows = rows_for(cfg, vol_operand)
     scn_host = scn.host_copy()  # numpy leaves -> kernel constants
 
     grid_t_host = None
@@ -408,7 +420,7 @@ def make_pallas_render_pass(
     tracer = make_pallas_tracer(scn, width, height, spp, subsample, cfg,
                                 block_rows=block_rows, interpret=interpret,
                                 vol_operand=vol_operand)
-    eff_rows = block_rows if block_rows is not None else rows_for(cfg)
+    eff_rows = block_rows if block_rows is not None else rows_for(cfg, vol_operand)
     order = lane_order(width, rows, nn, eff_rows * LANE) if tile else None
     if order is not None:
         pix_tiled, sub_tiled, untile = order

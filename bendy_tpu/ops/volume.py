@@ -62,15 +62,20 @@ VOL_PROBE_NO_DOT = False
 # sequential chunks (one-hot build -> dot -> trilinear per chunk). The
 # hypothesis was that chunk k+1's one-hot build (VPU) could hide behind
 # chunk k's dot (MXU) — the only overlap the march's step->decision
-# serialization leaves schedulable. REFUTED on hardware
-# (tools/dense_grid_sweep.py --lane-chunks, v5e dense_cloud, interleaved
-# with 1-chunk controls): 1x 509/510 | 2x 255 | 4x 224 Mrays/s — Mosaic
-# issues the chunks strictly in order, and each smaller-N dot pays its
-# own MXU pipeline fill/drain, so fragmenting the (125x512)x(512x2048)
-# contraction doubles its overhead share instead of hiding the build.
-# Keep 1. (Same lesson as the 8^3-brick sweep: this contraction wants
-# the largest N and the fewest dot calls the VMEM budget allows.)
-VOL_LANE_CHUNKS = 1
+# serialization leaves schedulable. Measured on hardware
+# (tools/dense_grid_sweep.py --lane-chunks[-deep], v5e dense_cloud,
+# interleaved): at a 16-row block, sub-tile chunks pad the bf16 minimum
+# tile (16, 128) and lose exactly the padding factor (1x 509/510 |
+# 2x 255 | 4x 224 — 8-row chunks stream 2x, 4-row 4x = 509/224 = 2.27x).
+# At TILE-ALIGNED chunks the overlap is real: a 32-row block split into
+# two 16-row chunks ran 514-518 Mrays/s vs 508-512 for every 16-row
+# control and 488 for the same block unsplit; 64r/4c (495) loses to
+# occupancy decay. Production: 2, paired with the 32-row dense-operand
+# block (ops/pallas_trace.rows_for); the tile guard below keeps any
+# block whose chunks would drop under 16 rows unchunked, so the knob is
+# inert for every non-dense configuration.
+VOL_LANE_CHUNKS = 2
+_CHUNK_TILE_ROWS = 16  # bf16 sublane tile: chunks must stay multiples
 
 
 def pack_vol_operand(vol) -> "np.ndarray":
@@ -283,7 +288,8 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
     # behind chunk k's MXU dot. Leading-dim slices/concat keep the
     # kernel's native (rows, 128) tiling (middle/trailing dims untouched).
     nc = VOL_LANE_CHUNKS
-    if nc > 1 and len(cx.shape) == 2 and cx.shape[0] % nc == 0:
+    if (nc > 1 and len(cx.shape) == 2 and cx.shape[0] % nc == 0
+            and (cx.shape[0] // nc) % _CHUNK_TILE_ROWS == 0):
         step_r = cx.shape[0] // nc
         parts = []
         for c0 in range(0, cx.shape[0], step_r):

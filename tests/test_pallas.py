@@ -226,9 +226,12 @@ def test_megakernel_multi_grid_operand():
 
 def test_lane_chunked_fetch_bit_identical():
     """VOL_LANE_CHUNKS slices the brick-table fetch over leading lane
-    rows (an MXU/VPU overlap knob — see ops/volume.py); each lane's math
-    is untouched, so any chunk count must be BIT-identical to the
-    1-chunk fetch, for both trilinear and nearest modes."""
+    rows (the MXU/VPU overlap schedule — see ops/volume.py); each lane's
+    math is untouched, so the production chunked fetch must be
+    BIT-identical to the 1-chunk fetch, for both trilinear and nearest
+    modes. The (32, x) shape makes nc=2 pass the 16-row tile guard (the
+    production dense-operand block), while nc=4 falls under it and must
+    silently run unchunked — also bit-identical."""
     import types
 
     import numpy as np
@@ -241,19 +244,21 @@ def test_lane_chunked_fetch_bit_identical():
     grid = rng.random((G, D, H, W)).astype(np.float32)
     scn = types.SimpleNamespace(vol_grid=grid)
     tab = jnp.asarray(volume.pack_vol_operand(grid))
-    shape = (8, 16)
+    shape = (32, 16)
     c = lambda: jnp.asarray(rng.random(shape, dtype=np.float32))
     coord = V3(c(), c(), c())
     size = V3(jnp.full(shape, W - 1.0), jnp.full(shape, H - 1.0),
               jnp.full(shape, D - 1.0))
     hit = types.SimpleNamespace(vol_size=size,
                                 vol_grid=jnp.zeros(shape, jnp.int32))
+    orig = volume.VOL_LANE_CHUNKS
+    assert orig == 2  # production default (rows_for pairs it with 32 rows)
     try:
         for nearest in (False, True):
             volume.VOL_LANE_CHUNKS = 1
             base = np.asarray(volume.density_sample(
                 scn, hit, coord, nearest=nearest, grid_t=tab))
-            for nc in (2, 4):
+            for nc in (2, 4):  # 2: chunked (16-row tiles); 4: guard skips
                 volume.VOL_LANE_CHUNKS = nc
                 out = np.asarray(volume.density_sample(
                     scn, hit, coord, nearest=nearest, grid_t=tab))
@@ -263,7 +268,7 @@ def test_lane_chunked_fetch_bit_identical():
                 scn, hit, coord, nearest=nearest))
             assert np.max(np.abs(base - ref)) < 1e-5
     finally:
-        volume.VOL_LANE_CHUNKS = 1
+        volume.VOL_LANE_CHUNKS = orig
 
 
 def test_megakernel_geodesic_scene():

@@ -119,35 +119,52 @@ def main() -> None:
         print(json.dumps(probe_serialization()))
         return
 
-    variants = [("f32", False, 4, 1), ("f32", True, 4, 1),
-                ("bf16", False, 4, 1), ("bf16", True, 4, 1)]
+    from bendy_tpu.ops import pallas_trace
+
+    R = pallas_trace.DENSE_OPERAND_ROWS  # the height dense scenes run at
+    variants = [("f32", False, 4, 1, R), ("f32", True, 4, 1, R),
+                ("bf16", False, 4, 1, R), ("bf16", True, 4, 1, R)]
     if "--bricks" in sys.argv:
         # brick-size sweep (r4 probe: the dot is VMEM-bandwidth-bound on
         # the [K, lanes] one-hot stream; bigger bricks shrink K 8x per
         # doubling and even cut FLOPs — apron overhead (bs+1)^3/bs^3
         # falls with bs)
-        variants = [("bf16", True, 4, 1), ("bf16", True, 8, 1),
-                    ("bf16", True, 16, 1)]
+        variants = [("bf16", True, 4, 1, R), ("bf16", True, 8, 1, R),
+                    ("bf16", True, 16, 1, R)]
     if "--lane-chunks" in sys.argv:
         # lane-row chunking A/B: chunk k+1's one-hot build (VPU) is
         # independent of chunk k's dot (MXU) — if Mosaic's in-order issue
         # lets the systolic array run ahead, the build hides behind the
         # dot (the only overlap the march's step->decision serialization
-        # leaves schedulable). Interleaved with the 1-chunk control.
-        variants = [("bf16", True, 4, 1), ("bf16", True, 4, 2),
-                    ("bf16", True, 4, 4), ("bf16", True, 4, 1)]
+        # leaves schedulable). Sub-16-row chunks pad the bf16 (16,128)
+        # minimum tile (measured exactly 2x/2.27x slower at 16 rows), so
+        # the fair test is a 32-row block split into two 16-row chunks
+        # against the same block unsplit. Interleaved 16-row controls.
+        variants = [("bf16", True, 4, 1, 16), ("bf16", True, 4, 1, 32),
+                    ("bf16", True, 4, 2, 32), ("bf16", True, 4, 1, 16)]
+    if "--lane-chunks-deep" in sys.argv:
+        # follow-up: does the overlap keep paying as block height and
+        # chunk count scale together (16-row tile-aligned chunks)?
+        variants = [("bf16", True, 4, 1, 16), ("bf16", True, 4, 2, 32),
+                    ("bf16", True, 4, 4, 64), ("bf16", True, 4, 2, 32),
+                    ("bf16", True, 4, 1, 16)]
     results = {}
     orig_brick = volume.VOL_BRICK
-    for vi, (dtype_name, direct, brick, chunks) in enumerate(variants):
+    orig_rows = pallas_trace.DEFAULT_ROWS
+    orig_chunks = volume.VOL_LANE_CHUNKS
+    for vi, (dtype_name, direct, brick, chunks, rows) in enumerate(variants):
         volume.VOL_FETCH_DTYPE = (
             jnp.float32 if dtype_name == "f32" else jnp.bfloat16
         )
         volume.VOL_ONEHOT_DIRECT = direct
         volume.VOL_BRICK = brick
         volume.VOL_LANE_CHUNKS = chunks
+        pallas_trace.DEFAULT_ROWS = rows
+        pallas_trace.DENSE_OPERAND_ROWS = rows  # dense scenes read this one
         tag = f"{dtype_name}+{'direct' if direct else 'outer'}+b{brick}"
-        if chunks != 1 or "--lane-chunks" in sys.argv:
-            tag += f"+c{chunks}#{vi}"
+        if chunks != 1 or rows != orig_rows or any(
+                a.startswith("--lane-chunks") for a in sys.argv):
+            tag += f"+c{chunks}r{rows}#{vi}"
         scene = load_scene("scenes/dense_cloud.json.gz")
         cam_ref = scene.find_by_tag("camera")
         scene.get_object(cam_ref).inner.aspect_ratio = 1.0
@@ -187,7 +204,9 @@ def main() -> None:
     volume.VOL_FETCH_DTYPE = jnp.bfloat16
     volume.VOL_ONEHOT_DIRECT = True
     volume.VOL_BRICK = orig_brick
-    volume.VOL_LANE_CHUNKS = 1
+    volume.VOL_LANE_CHUNKS = orig_chunks
+    pallas_trace.DEFAULT_ROWS = orig_rows
+    pallas_trace.DENSE_OPERAND_ROWS = R
     import json
 
     print(json.dumps(results))
