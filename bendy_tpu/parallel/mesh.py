@@ -174,7 +174,7 @@ def make_pallas_pass_sharded(
         spp_total=spp_total, block_rows=block_rows, interpret=interpret,
         vol_operand=vol_operand,
     )
-    eff_rows = block_rows if block_rows is not None else rows_for(cfg)
+    eff_rows = block_rows if block_rows is not None else rows_for(cfg, vol_operand)
     order = lane_order(width, rows_local, nn, eff_rows * LANE) if tile else None
 
     def shard_body(cam_packed, seed, pass_idx):

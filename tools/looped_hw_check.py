@@ -73,7 +73,8 @@ def measure(n_prims: int, blk: int | None = None, block_rows: int | None = None,
     if blk is not None:
         intersect.LOOP_BLOCK = blk  # late-bound by prim_tables/nearest_hit_looped
     if block_rows is not None:
-        pallas_trace.rows_for = lambda cfg: block_rows  # late-bound too
+        # late-bound too (match the production signature incl. vol_operand)
+        pallas_trace.rows_for = lambda cfg, vol_operand=False: block_rows
     try:
         scene = build_prim_grid(n_prims)
         cam_ref = scene.find_by_tag("camera")

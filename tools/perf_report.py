@@ -131,7 +131,7 @@ def loop_body_ops(scene_name: str, width=256, height=256, spp=64, subsample=2,
     cam = r.camera_params(cam_ref)
     cfg = r.trace_config(r.config, cam_ref)
     if block_rows is None:
-        block_rows = rows_for(cfg)
+        block_rows = rows_for(cfg, r.vol_operand())
     R, L = block_rows, 128
     pix = jnp.zeros((R, L), jnp.uint32)
     sub = jnp.zeros((R, L), jnp.uint32)
