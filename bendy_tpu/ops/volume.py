@@ -76,6 +76,24 @@ VOL_PROBE_NO_DOT = False
 # inert for every non-dense configuration.
 VOL_LANE_CHUNKS = 2
 _CHUNK_TILE_ROWS = 16  # bf16 sublane tile: chunks must stay multiples
+# VOL_FETCH_OVERLAP: issue the brick-table dots BEFORE the surface-shade
+# block and defer the trilinear apply until after it (wavefront.py calls
+# density_fetch_begin right after the intersection sweep and hands the
+# pending fetch to volume_shade). The shade block is the one sizable
+# VPU phase with no data dependence on the fetch, so the hypothesis was
+# it could hide under the ~2.5 us dot. Per-lane math and op set are
+# unchanged — bit-identical to the inline fetch by construction
+# (tests/test_pallas.py::test_deferred_fetch_bit_identical).
+# MEASURED NEUTRAL (tools/dense_grid_sweep.py --overlap, v5e 2026-08-19,
+# interleaved on/off at the production 32r/2c config): off 517.5/513.9
+# vs on 517.1/516.2 Mrays/s — within link jitter. Together with
+# tools/mxu_shape_probe.py (the isolated dot runs at ~100% of the bf16
+# peak), this pins the 55%-during-dot production figure on operand
+# STAGING — the cost of feeding a freshly-VPU-built vreg one-hot into
+# the MXU each iteration — which program position cannot move. Default
+# False: production keeps the long-validated inline order; the knob and
+# its bit-identity gate stay as the documented refutation.
+VOL_FETCH_OVERLAP = False
 
 
 def pack_vol_operand(vol) -> "np.ndarray":
@@ -304,6 +322,20 @@ def _density_operand(scn, hit, grid_t, cx, cy, cz, nearest):
 
 def _fetch_operand(scn, grid_t, cx, cy, cz, size, gidx, nearest):
     """One brick-table fetch over (a lane-row slice of) the batch."""
+    return _fetch_apply(_fetch_begin(scn, grid_t, cx, cy, cz, size, gidx, nearest))
+
+
+def _fetch_begin(scn, grid_t, cx, cy, cz, size, gidx, nearest):
+    """Issue the MXU corner fetch; defer the trilinear apply.
+
+    Returns everything :func:`_fetch_apply` needs: the per-grid fetched
+    corner stacks ``t`` ([ap³, *lanes], f32, straight off the dot), the
+    three lerp one-hots, and the per-lane grid select. Splitting here
+    lets the caller (ops/wavefront via :func:`volume_fetch_begin`) put
+    fetch-independent VPU work between the dot issue and its first use
+    so in-order Mosaic issue hides it under the systolic array
+    (VOL_FETCH_OVERLAP).
+    """
     G, D, H, W = scn.vol_grid.shape
     bs = VOL_BRICK
     ap = bs + 1
@@ -354,8 +386,8 @@ def _fetch_operand(scn, grid_t, cx, cy, cz, size, gidx, nearest):
     # (dtype-aware: bf16 halves bytes/row, so 32^3 fits in ONE dot call)
     itemsize = jnp.dtype(dtype).itemsize
     zgrp = max(1, min(nbz, (8 << 20) // max(nby * nbx * B * itemsize, 1)))
-    out = jnp.zeros_like(cx)
     tab = grid_t
+    ts = []
     for g in range(G):
         t = None  # [ap³, *lanes]
         for z0 in range(0, nbz, zgrp):
@@ -386,12 +418,65 @@ def _fetch_operand(scn, grid_t, cx, cy, cz, size, gidx, nearest):
                     preferred_element_type=jnp.float32,
                 )  # [ap³, *lanes]
             t = part if t is None else t + part
+        ts.append(t)
+    return tuple(ts), wlx, wly, wlz, gidx, ap, shape
+
+
+def _fetch_apply(pending):
+    """Trilinear apply on fetched corner stacks (the deferred VPU half)."""
+    ts, wlx, wly, wlz, gidx, ap, shape = pending
+    G = len(ts)
+    out = jnp.zeros(shape, jnp.float32)  # == zeros_like(cx): coords are f32
+    for g, t in enumerate(ts):
         t3 = t.reshape((ap, ap, ap) + shape)
         r = jnp.sum(t3 * wlx[None, None], axis=2)  # [ap, ap, *lanes]
         r = jnp.sum(r * wly[None], axis=1)  # [ap, *lanes]
         vg = jnp.sum(r * wlz, axis=0)
         out = vg if G == 1 else jnp.where(gidx == g, vg, out)
     return out
+
+
+def density_fetch_begin(scn, hit, nearest: bool = False, grid_t=None):
+    """Issue the dense-grid corner fetch for a volume event; defer the apply.
+
+    The ops/wavefront body calls this right after the intersection sweep
+    (VOL_FETCH_OVERLAP) so the MXU dots are in flight while the
+    fetch-independent surface-shade VPU block runs; the pending value
+    then feeds :func:`volume_shade` (``pending=``), whose
+    :func:`density_fetch_finish` does the trilinear apply at first use.
+    Per-lane math is IDENTICAL to the inline
+    ``density_sample(..., grid_t=...)`` path — same clamp/scale, same
+    lane-chunk slicing, same op set — only the program position of the
+    apply moves. Returns None when there is no operand grid (the caller
+    falls back to the inline paths).
+    """
+    if grid_t is None:
+        return None
+    coord = (hit.position - hit.bbox_min) / hit.bbox_size
+    size = hit.vol_size
+    cx = jnp.clip(coord.x, 0.0, 1.0) * size.x
+    cy = jnp.clip(coord.y, 0.0, 1.0) * size.y
+    cz = jnp.clip(coord.z, 0.0, 1.0) * size.z
+    gidx = jnp.maximum(hit.vol_grid, 0)
+    nc = VOL_LANE_CHUNKS
+    if (nc > 1 and len(cx.shape) == 2 and cx.shape[0] % nc == 0
+            and (cx.shape[0] // nc) % _CHUNK_TILE_ROWS == 0):
+        step_r = cx.shape[0] // nc
+        parts = []
+        for c0 in range(0, cx.shape[0], step_r):
+            sl = slice(c0, c0 + step_r)
+            parts.append(_fetch_begin(
+                scn, grid_t, cx[sl], cy[sl], cz[sl],
+                V3(size.x[sl], size.y[sl], size.z[sl]), gidx[sl], nearest,
+            ))
+        return parts
+    return [_fetch_begin(scn, grid_t, cx, cy, cz, size, gidx, nearest)]
+
+
+def density_fetch_finish(parts):
+    """Deferred trilinear apply over the lane-row chunks of a pending fetch."""
+    outs = [_fetch_apply(p) for p in parts]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 class VolumeShade(NamedTuple):
@@ -409,10 +494,19 @@ def volume_shade(
     step: float,
     nearest: bool = False,
     grid_t: jnp.ndarray | None = None,
+    pending=None,
 ) -> VolumeShade:
-    """One probabilistic scattering decision at a volume event."""
-    coord = (hit.position - hit.bbox_min) / hit.bbox_size
-    density = step * density_sample(scn, hit, coord, nearest=nearest, grid_t=grid_t)
+    """One probabilistic scattering decision at a volume event.
+
+    ``pending``: a fetch already issued by :func:`density_fetch_begin`
+    (VOL_FETCH_OVERLAP); only the deferred trilinear apply runs here.
+    """
+    if pending is not None:
+        density = step * density_fetch_finish(pending)
+    else:
+        coord = (hit.position - hit.bbox_min) / hit.bbox_size
+        density = step * density_sample(
+            scn, hit, coord, nearest=nearest, grid_t=grid_t)
     scattered = u[0] < density  # covers density >= 1 too (``volume.rs:38``)
 
     # interior events jitter the origin up to one step backwards (``volume.rs:40-42``)

@@ -62,6 +62,7 @@ from bendy_tpu.ops.intersect import (
     nearest_hit_looped,
 )
 from bendy_tpu.ops.materials import shade_surface
+from bendy_tpu.ops import volume as _volume
 from bendy_tpu.ops.volume import volume_shade
 from bendy_tpu.scene.compiler import MAT_EMISSIVE, MAT_FLAT, SceneArrays
 from bendy_tpu.utils.rng import lane_uniforms
@@ -508,6 +509,17 @@ def trace_core(
             **hit_kw,
         )
 
+        # dense-grid operand scenes: ISSUE the MXU corner fetch now, apply
+        # deferred into volume_shade below — the shade block between them
+        # has no data dependence on the fetch, so in-order issue hides its
+        # VPU time under the ~2.5 us dot (ops/volume.VOL_FETCH_OVERLAP;
+        # bit-identical to the inline fetch — same ops, moved apply)
+        vol_pending = None
+        if cfg.has_volumes and vol_grid_t is not None and _volume.VOL_FETCH_OVERLAP:
+            vol_pending = _volume.density_fetch_begin(
+                scn, hit, nearest=cfg.vol_nearest, grid_t=vol_grid_t
+            )
+
         miss = alive & ~hit.valid
         if cfg.geodesic:
             geo_cont = miss & near  # no hit inside the chord: keep bending
@@ -562,7 +574,8 @@ def trace_core(
             # volume-event lanes was tried and reverted: Mosaic cannot
             # legalize scf.if with vector results)
             vs = volume_shade(trace_dir, hit, scn, u, cfg.volume_step,
-                              nearest=cfg.vol_nearest, grid_t=vol_grid_t)
+                              nearest=cfg.vol_nearest, grid_t=vol_grid_t,
+                              pending=vol_pending)
             thr = V3.where(vol & vs.scattered, thr * vs.weight, thr)
             new_org = V3.where(vol, vs.origin, new_org)
             new_dir = V3.where(vol, vs.direction, new_dir)

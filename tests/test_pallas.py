@@ -271,6 +271,82 @@ def test_lane_chunked_fetch_bit_identical():
         volume.VOL_LANE_CHUNKS = orig
 
 
+def test_deferred_fetch_bit_identical():
+    """VOL_FETCH_OVERLAP defers the trilinear apply past the shade block
+    (density_fetch_begin/.._finish); each lane's math is untouched, so the
+    deferred fetch must be BIT-identical to the inline operand fetch — at
+    the unit level (both nearest modes, chunked and unchunked lane rows)
+    AND through the whole interpret megakernel (overlap on vs off)."""
+    import types
+
+    import bendy_tpu.ops.volume as volume
+    from bendy_tpu.utils.v3 import V3
+
+    rng = np.random.default_rng(29)
+    G, D, H, W = 1, 8, 8, 8
+    grid = rng.random((G, D, H, W)).astype(np.float32)
+    scn = types.SimpleNamespace(vol_grid=grid)
+    tab = jnp.asarray(volume.pack_vol_operand(grid))
+    shape = (32, 16)
+    c = lambda: jnp.asarray(rng.random(shape, dtype=np.float32))
+    # position == coord: identity bbox keeps begin's coord expression
+    # numerically identical to the one volume_shade computes inline
+    pos = V3(c(), c(), c())
+    size = V3(jnp.full(shape, W - 1.0), jnp.full(shape, H - 1.0),
+              jnp.full(shape, D - 1.0))
+    hit = types.SimpleNamespace(
+        vol_size=size, vol_grid=jnp.zeros(shape, jnp.int32),
+        position=pos, bbox_min=V3.zeros(shape), bbox_size=V3.zeros(shape) + 1.0,
+    )
+    coord = (hit.position - hit.bbox_min) / hit.bbox_size
+    orig_nc = volume.VOL_LANE_CHUNKS
+    try:
+        for nearest in (False, True):
+            for nc in (1, 2):
+                volume.VOL_LANE_CHUNKS = nc
+                inline = np.asarray(volume.density_sample(
+                    scn, hit, coord, nearest=nearest, grid_t=tab))
+                pend = volume.density_fetch_begin(
+                    scn, hit, nearest=nearest, grid_t=tab)
+                assert len(pend) == nc
+                deferred = np.asarray(volume.density_fetch_finish(pend))
+                assert (deferred == inline).all(), (nearest, nc)
+    finally:
+        volume.VOL_LANE_CHUNKS = orig_nc
+
+    # whole-kernel gate: interpret megakernel, overlap on vs off
+    from bendy_tpu.models.dense_cloud import build_dense_cloud
+
+    Wk = Hk = 16
+    spp = 1
+    scene = build_dense_cloud()
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(max_bounces=3), use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)
+    pix, sub = _lanes(Wk, Hk)
+    orig_ov = volume.VOL_FETCH_OVERLAP
+    assert orig_ov in (True, False)
+    outs = {}
+    try:
+        for ov in (False, True):
+            volume.VOL_FETCH_OVERLAP = ov
+            kern = make_pallas_tracer(
+                r.arrays, Wk, Hk, spp, 1, cfg, block_rows=_block_rows(Wk, Hk),
+                interpret=True, vol_operand=True,
+            )
+            outs[ov] = kern(pack_camera(cam), jnp.uint32(31), jnp.uint32(0),
+                            pix, sub)
+    finally:
+        volume.VOL_FETCH_OVERLAP = orig_ov
+    for ch in ("x", "y", "z"):
+        a = np.asarray(getattr(outs[False].radiance, ch))
+        b = np.asarray(getattr(outs[True].radiance, ch))
+        assert (a == b).all(), ch
+    assert float(outs[False].rays) == float(outs[True].rays)
+
+
 def test_megakernel_geodesic_scene():
     """RK4 chord-stepped propagation inside the kernel == XLA."""
     W = H = 16

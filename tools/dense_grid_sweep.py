@@ -74,8 +74,14 @@ def probe_serialization() -> dict:
 
     out = {}
     orig = volume.density_sample
+    orig_overlap = volume.VOL_FETCH_OVERLAP
     for tag in ("full", "no_dot", "stub"):
         try:
+            # the phase decomposition is defined on the SERIALIZED
+            # (inline-fetch) formulation, and the 'stub' variant replaces
+            # density_sample — which the deferred begin/finish path
+            # bypasses entirely
+            volume.VOL_FETCH_OVERLAP = False
             if tag == "stub":
                 volume.density_sample = (
                     lambda scn, hit, coord, nearest=False, grid_t=None:
@@ -89,6 +95,7 @@ def probe_serialization() -> dict:
         finally:
             volume.density_sample = orig
             volume.VOL_PROBE_NO_DOT = False
+            volume.VOL_FETCH_OVERLAP = orig_overlap
     t_fetch = out["full"]["us_per_iter"] - out["stub"]["us_per_iter"]
     t_dot = out["full"]["us_per_iter"] - out["no_dot"]["us_per_iter"]
     out["fetch_us_per_iter"] = round(t_fetch, 3)
@@ -148,11 +155,25 @@ def main() -> None:
         variants = [("bf16", True, 4, 1, 16), ("bf16", True, 4, 2, 32),
                     ("bf16", True, 4, 4, 64), ("bf16", True, 4, 2, 32),
                     ("bf16", True, 4, 1, 16)]
+    if "--overlap" in sys.argv:
+        # deferred-apply A/B (VOL_FETCH_OVERLAP): issue the dots before the
+        # shade block, apply after it. mxu_shape_probe measured the
+        # isolated dot at ~100% of the bf16 peak vs 55% in-kernel, so up
+        # to ~0.7 us/iter of fetch-independent VPU work is hideable.
+        # 6th field = overlap; interleaved on/off at the production config.
+        variants = [("bf16", True, 4, 2, 32, False),
+                    ("bf16", True, 4, 2, 32, True),
+                    ("bf16", True, 4, 2, 32, False),
+                    ("bf16", True, 4, 2, 32, True)]
     results = {}
     orig_brick = volume.VOL_BRICK
     orig_rows = pallas_trace.DEFAULT_ROWS
     orig_chunks = volume.VOL_LANE_CHUNKS
-    for vi, (dtype_name, direct, brick, chunks, rows) in enumerate(variants):
+    orig_overlap = volume.VOL_FETCH_OVERLAP
+    for vi, var in enumerate(variants):
+        (dtype_name, direct, brick, chunks, rows), overlap = var[:5], (
+            var[5] if len(var) > 5 else volume.VOL_FETCH_OVERLAP)
+        volume.VOL_FETCH_OVERLAP = overlap
         volume.VOL_FETCH_DTYPE = (
             jnp.float32 if dtype_name == "f32" else jnp.bfloat16
         )
@@ -165,6 +186,8 @@ def main() -> None:
         if chunks != 1 or rows != orig_rows or any(
                 a.startswith("--lane-chunks") for a in sys.argv):
             tag += f"+c{chunks}r{rows}#{vi}"
+        if "--overlap" in sys.argv:
+            tag += f"+ov{int(overlap)}#{vi}"
         scene = load_scene("scenes/dense_cloud.json.gz")
         cam_ref = scene.find_by_tag("camera")
         scene.get_object(cam_ref).inner.aspect_ratio = 1.0
@@ -205,6 +228,7 @@ def main() -> None:
     volume.VOL_ONEHOT_DIRECT = True
     volume.VOL_BRICK = orig_brick
     volume.VOL_LANE_CHUNKS = orig_chunks
+    volume.VOL_FETCH_OVERLAP = orig_overlap
     pallas_trace.DEFAULT_ROWS = orig_rows
     pallas_trace.DENSE_OPERAND_ROWS = R
     import json
