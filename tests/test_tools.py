@@ -30,6 +30,27 @@ def test_loop_body_ops_cornell():
 
 
 @pytest.mark.smoke
+def test_mxu_shape_probe_builds():
+    """The MXU shape probe's kernel must keep tracing against the
+    production fetch shape (M=128, K=512) for both operand dtypes — the
+    probe only ever runs on hardware, so shape/dtype rot would surface
+    mid-benchmark otherwise. eval_shape traces the pallas_call without
+    compiling it (no TPU, no interpret run)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mxu_shape_probe import M, K, _build
+
+    for dtype_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        fn, tab, oh, got_dt = _build(256, 3, dtype_name)
+        assert got_dt == dt
+        assert tab.shape == (M, K) and tab.dtype == dt
+        assert oh.shape == (K, 256) and oh.dtype == dt
+        out = jax.eval_shape(fn, tab, oh)
+        assert out.shape == (M, 256) and out.dtype == jnp.float32
+
+
+@pytest.mark.smoke
 def test_phase_probe_stubs_bind():
     """Every (module, attr) the phase probe patches must still exist and
     be callable — a rename in wavefront/materials would otherwise only

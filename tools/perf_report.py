@@ -384,6 +384,18 @@ def main() -> None:
             "(~20%) — both inherent to regeneration, not fixable without",
             "cross-lane work stealing, which needs gathers/atomics this",
             "ISA does not expose.",
+            "",
+            "Why dense_cloud's MXU column sits at ~44-55%: the SAME dot",
+            "shape in isolation runs at ~100% of the bf16 peak and is not",
+            "bandwidth-bound (tools/mxu_shape_probe.py: bf16/f32 ratio",
+            "1.06), and moving the dot away from its consumers measured",
+            "neutral (ops/volume.VOL_FETCH_OVERLAP, interleaved A/B) — the",
+            "gap is operand STAGING, the per-iteration cost of feeding a",
+            "freshly-VPU-built vreg one-hot into the systolic array, which",
+            "neither program position nor formulation (7 variants swept",
+            "across rounds 3-4) moves. Together with the serialized",
+            "VPU+MXU roofline (the fetch feeds the very next scatter",
+            "decision), dense_cloud's ~519 Mrays/s is this design's floor.",
         ]
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with open(os.path.join(root, "PERF.md"), "w") as f:
