@@ -281,6 +281,18 @@ def main() -> None:
             pallas=rr["pallas"])
         print(f"prim_grid_256 (looped sweep): {rr['median']:.1f} Mrays/s median "
               f"({rr['seconds_median']:.2f}s)", file=sys.stderr)
+        # many-volume-object scene: 256 volume-sphere puffs through the
+        # looped sweep's march path (models/cloud_field.py)
+        cf_cfg = Config(max_bounces=4)
+        rr = timed_render(load_scene("scenes/cloud_field.json.gz"), 256, 256,
+                          16, 1, cf_cfg, passes=4)
+        results["cloud_field_256_looped"] = dict(
+            row(rr, workload("cloud_field (256 volume puffs)", 256, 256, 16, 1,
+                             cf_cfg, passes=4),
+                occ("cloud_field", 256, 256, 16, 1, cf_cfg)),
+            pallas=rr["pallas"])
+        print(f"cloud_field (256 volume puffs): {rr['median']:.1f} Mrays/s "
+              f"median ({rr['seconds_median']:.2f}s)", file=sys.stderr)
         # sharded megakernel on a (1,1) mesh: proves the SPMD Mosaic
         # kernel (shard_map + pallas_call) compiles and runs on real TPU
         # hardware, not just in interpret mode. Multi-chip runs use the

@@ -469,6 +469,11 @@ LOOP_BLOCK = 8  # primitives unrolled per fori_loop step in the looped sweep.
 #   the dynamic_slice loads), 16 (46.4) and 32 (45.8 — vreg pressure).
 
 
+CULL_PROBE = None  # perf-probe knob for the block cull (tools only):
+#   "truepred" replaces the feasibility test with a scalar SMEM compare
+#   that is always true — isolating the while-as-cond BOUNDARY cost from
+#   the test + cross-lane-reduce cost (docs/looped_hw.json cull rows).
+
 LIGHT_FACE_COLS = 23  # per-face column span in the light table
 
 # sweep-table column counts (the prim_tables layouts below). The
@@ -611,6 +616,112 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int | None = None,
     return out
 
 
+def block_bounds(tabs: dict, block: int | None = None) -> dict:
+    """Per-fori-block bounding spheres for the culled looped sweep.
+
+    For each ``block``-row group of a prim_tables() matrix, computes one
+    conservative bounding sphere (cx, cy, cz, r) enclosing every valid
+    member primitive; returns numpy f32 arrays keyed ``sphb``/``rctb``/
+    ``boxb`` of shape [n_blocks*4] (flat — shipped to SMEM like the sweep
+    tables). Host-side only (needs 3x3 solves for rect/box extents).
+
+    Conservativeness is the correctness contract (a too-small bound would
+    silently skip true hits): member extents are computed in float64,
+    the block radius is inflated by a relative margin plus an absolute
+    term scaled by the scene magnitude (covers every f32 rounding in the
+    runtime segment-distance test, including the cancellation when the
+    ray passes far from a small bound), and degenerate geometry
+    (singular bases) falls back to an infinite radius — the block is
+    then simply never skipped. All-pad blocks get a far-away zero-radius
+    bound: always skipped, which is exact (pad rows' validity column
+    masks their t to +inf anyway).
+    """
+    import numpy as np
+
+    if block is None:
+        block = LOOP_BLOCK
+
+    def sph_members(t):
+        return t[:, 0:3].copy(), t[:, 3].copy(), t[:, 14] > 0.0
+
+    def rct_members(t):
+        # rect = {x : ((x-c)·ux)² <= hw², ((x-c)·uy)² <= hh², (x-c)·zb = 0}
+        # (rect_t's containment bases are the inverse-transposed ones, so
+        # corner offsets solve M @ v = (±hw, ±hh, 0) with M = [ux; uy; zb])
+        c = t[:, 0:3].copy()
+        r = np.empty(len(t))
+        for i in range(len(t)):
+            m = np.stack([t[i, 3:6], t[i, 6:9], t[i, 9:12]])
+            rhs = np.array(
+                [[t[i, 12], t[i, 12]], [t[i, 13], -t[i, 13]], [0.0, 0.0]]
+            )
+            try:
+                corners = np.linalg.solve(m, rhs)
+                r[i] = float(np.linalg.norm(corners, axis=0).max())
+            except np.linalg.LinAlgError:
+                r[i] = np.inf
+        return c, r, t[:, 20] > 0.0
+
+    def box_members(t):
+        # box = {x : n_i·x in [dlo_i, dhi_i]}; vertices solve N @ x = b
+        c = np.zeros((len(t), 3))
+        r = np.empty(len(t))
+        signs = np.array(
+            [[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1]], np.float64
+        ).T
+        for i in range(len(t)):
+            n3 = t[i, 0:9].reshape(3, 3)
+            dlo, dhi = t[i, 9:12], t[i, 12:15]
+            try:
+                c[i] = np.linalg.solve(n3, (dlo + dhi) / 2.0)
+                ext = np.linalg.solve(n3, signs * ((dhi - dlo) / 2.0)[:, None])
+                r[i] = float(np.linalg.norm(ext, axis=0).max())
+            except np.linalg.LinAlgError:
+                r[i] = np.inf
+        return c, r, t[:, 27] > 0.0
+
+    out = {}
+    # scene magnitude for the absolute rounding margin (f32 cancellation
+    # in the runtime test is ~ulps of the ray-to-center distance)
+    scale = 1.0
+    kind_fns = {"sph": sph_members, "rct": rct_members, "box": box_members}
+    members = {}
+    for kind, fn in kind_fns.items():
+        if kind not in tabs:
+            continue
+        t = np.asarray(tabs[kind], np.float64)
+        if t.ndim == 1:  # flattened table
+            t = t.reshape(-1, SWEEP_NCOLS[kind])
+        c, r, valid = fn(t)
+        members[kind] = (c, r, valid)
+        if valid.any():
+            finite = valid & np.isfinite(r)
+            if finite.any():
+                scale = max(
+                    scale,
+                    float((np.abs(c[finite]).max(axis=1) + r[finite]).max()),
+                )
+    slack = 1e-3 + 3e-5 * scale
+    for kind, (c, r, valid) in members.items():
+        n = len(r)
+        assert n % block == 0, (kind, n, block)
+        nb = n // block
+        b = np.zeros((nb, 4), np.float64)
+        for bi in range(nb):
+            sl = slice(bi * block, (bi + 1) * block)
+            v = valid[sl]
+            if not v.any():
+                b[bi] = (3e30, 0.0, 0.0, 0.0)  # always-skip (pad block)
+                continue
+            cc, rr = c[sl][v], r[sl][v]
+            ctr = cc.mean(axis=0)
+            rad = float((np.linalg.norm(cc - ctr, axis=1) + rr).max())
+            b[bi, :3] = ctr
+            b[bi, 3] = rad * (1.0 + 2e-3) + slack
+        out[kind + "b"] = b.astype(np.float32).reshape(-1)
+    return out
+
+
 def nearest_hit_looped(
     org: V3,
     dir: V3,
@@ -625,6 +736,8 @@ def nearest_hit_looped(
     block: int | None = None,
     tables: Optional[dict] = None,
     tables_are_refs: bool = False,
+    cull_mask: Optional[jnp.ndarray] = None,
+    cull_slack: float = 0.0,
 ) -> Hit:
     """Compile-time-flat nearest hit: ``lax.fori_loop`` over primitive rows.
 
@@ -647,6 +760,40 @@ def nearest_hit_looped(
     (``tables_are_refs=True``) and every column access is a scalar load —
     the baked-constant scene cannot be indexed by a traced row id, but
     scalar memory can (ops/pallas_trace.py ships them).
+
+    Block culling (a measured REFUTATION, shipped off by default): when
+    ``tables`` carries :func:`block_bounds` entries (``sphb``/``rctb``/
+    ``boxb``), each fori step first tests its block's bounding sphere
+    against every lane's feasible ray segment ``[cmin, min(cmax,
+    t_best)]`` (~20 VPU ops + one any-reduce) and SKIPS the full
+    ``block``-primitive body when no lane can possibly produce a winner —
+    via a while-loop-as-conditional, the one scalar-predicated control
+    flow Mosaic legalizes with vector carries (``lax.cond`` with vector
+    results does not lower; see the note in ops/wavefront.py). Skipping
+    is conservative, so results are bit-identical (gated:
+    tests/test_block_cull.py; hardware Mosaic vs XLA max abs 0.0).
+    ``cull_mask`` (the integrator's ``alive``) drops dead lanes from the
+    feasibility vote — their Hit outputs are never read, so film-level
+    identity still holds. ``cull_slack`` absorbs the box parallel-slab
+    drift (a freely-passing near-parallel slab's hit can sit ``t·1e-5``
+    outside the true box): pass ``clip_max * 1e-5``.
+
+    Why it ships DEFAULT OFF — the v5e numbers (interleaved A/B,
+    tools/looped_hw_check.py --cull-ab, docs/looped_hw.json): the cull
+    LOSES 17-28% net on every workload tried, including its best case
+    (256-puff cloud_field, march segments only volume_step long).
+    Decomposition at 258 prims: all-skip bounds 52 vs off 45-47 vs
+    always-true-predicate 45.7 vs culled 39.4 Mrays/s → the while
+    boundary is ~3%, the per-block test + CROSS-LANE ANY-REDUCE ~68% of
+    the 8-prim body it guards, and only 17-28% of block work is
+    skippable: a 2048-lane block nearly always contains some
+    surface-mode lane whose [clip_min, clip_max] segment reaches every
+    primitive block (bounce divergence; march/surface lanes mix in one
+    block). With non-sweep glue at 58% of iteration cost, even a
+    zero-overhead cull at these skip rates cannot reach the 50 Mrays/s
+    floor at 512 prims — the O(N) scaling law in API.md stands as the
+    honest architecture bound, same epistemic status as the dense-grid
+    serialized roofline.
     """
     import jax
 
@@ -744,6 +891,49 @@ def nearest_hit_looped(
     def n_rows(tab, ncols):
         return tab.shape[0] // ncols if tab.ndim == 1 else tab.shape[0]
 
+    def cull_wrap(kind, raw_body):
+        """Wrap a per-block sweep body in the bounding-sphere skip.
+
+        The predicate asks: can ANY (alive) lane's feasible segment
+        [cmin, min(cmax, t_best)] reach this block's bound? A true hit at
+        t_k needs t_k ∈ [cmin, cmax] and t_k < t_best, and its point lies
+        on a member primitive ⊂ bound, so the segment's closest approach
+        to the bound center is <= r there — the test passing is implied
+        by any possible winner (including the march interior pseudo-hit:
+        its end point at t=cmax is inside the member sphere). dir must be
+        unit (the same invariant sphere_t's t semantics already assume).
+        Skipped updates are therefore identities. The body runs 0/1 times
+        via while_loop (Mosaic-legal scalar-predicated control flow).
+        """
+        bnd = tables.get(kind + "b")
+        if bnd is None:
+            return raw_body
+
+        def blk_fn(blk, st):
+            if CULL_PROBE == "truepred":
+                # overhead probe: while-boundary cost alone (no test, no
+                # cross-lane reduce; the body always runs — bit-identical)
+                pred = bnd[blk * 4 + 3] < jnp.inf
+            else:
+                b4 = blk * 4
+                bc = V3(bnd[b4], bnd[b4 + 1], bnd[b4 + 2])
+                br = bnd[b4 + 3] + cull_slack
+                ub = jnp.minimum(cmax, st.t_best)
+                oc = org - bc
+                tc = jnp.clip(0.0 - oc.dot(dir), cmin, ub)
+                cl = oc + dir * tc
+                feas = cl.length_squared() <= br * br
+                if cull_mask is not None:
+                    feas = feas & cull_mask
+                pred = jnp.any(feas)
+
+            def once(c):
+                return jnp.zeros((), jnp.bool_), raw_body(blk, c[1])
+
+            return jax.lax.while_loop(lambda c: c[0], once, (pred, st))[1]
+
+        return blk_fn
+
     if has_sph:
         tab = tables["sph"]
         n_blocks = n_rows(tab, SWEEP_NCOLS["sph"]) // block
@@ -789,7 +979,7 @@ def nearest_hit_looped(
                     )
             return st
 
-        st = jax.lax.fori_loop(0, n_blocks, sph_block, st)
+        st = jax.lax.fori_loop(0, n_blocks, cull_wrap("sph", sph_block), st)
 
     if scn.n_trace_rects > 0:
         tab = tables["rct"]
@@ -828,7 +1018,7 @@ def nearest_hit_looped(
                     st = st._replace(c_vgrid=st.c_vgrid * keep_i - better_i)
             return st
 
-        st = jax.lax.fori_loop(0, n_blocks, rct_block, st)
+        st = jax.lax.fori_loop(0, n_blocks, cull_wrap("rct", rct_block), st)
 
     if scn.n_boxes > 0:
         tab = tables["box"]
@@ -866,7 +1056,7 @@ def nearest_hit_looped(
                     st = st._replace(c_vgrid=st.c_vgrid * keep_i - better_i)
             return st
 
-        st = jax.lax.fori_loop(0, n_blocks, box_block, st)
+        st = jax.lax.fori_loop(0, n_blocks, cull_wrap("box", box_block), st)
 
     return _manifold(
         org, dir, st.t_best, st.is_sph, st.srow, st.interior, st.c_center,

@@ -163,9 +163,14 @@ def make_pallas_tracer(
     if cfg.looped_sweep:
         import numpy as np
 
-        from bendy_tpu.ops.intersect import prim_tables
+        from bendy_tpu.ops.intersect import block_bounds, prim_tables
 
         tabs = prim_tables(scn_host, np)
+        if cfg.block_cull:
+            # per-fori-block bounding spheres: the sweep skips whole
+            # primitive blocks no alive lane's segment can reach
+            # (intersect.nearest_hit_looped cull_wrap; bit-identical)
+            tabs.update(block_bounds(tabs))
         table_keys = sorted(tabs)
         # sweep tables ship FLATTENED: 1D refs let nearest_hit_looped hoist
         # each block's flat base address so every SMEM load is base+CONST

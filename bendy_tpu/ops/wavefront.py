@@ -127,6 +127,20 @@ class TraceConfig(NamedTuple):
     #   megakernel the row tables arrive as SMEM operands (prim_tables)
     #   read with scalar loads; under plain XLA they stack from the
     #   traced scene leaves.
+    block_cull: bool = False  # static: with looped_sweep in the MEGAKERNEL,
+    #   ship per-fori-block bounding spheres (intersect.block_bounds) and
+    #   skip whole primitive blocks no (alive) lane's feasible segment can
+    #   reach — bit-identical by construction (conservative test; gated by
+    #   tests/test_block_cull.py). Only the Pallas path acts on it: under
+    #   plain XLA the any-reduce spans the whole megabatch. DEFAULT OFF:
+    #   measured a 17-28% NET LOSS on v5e across flat (258/512-prim) and
+    #   march-dominated (256-puff cloud_field) scenes — the while-as-cond
+    #   boundary is ~free (3%) but the per-block feasibility test + cross-
+    #   lane any-reduce costs ~68% of the 8-prim body it guards, while
+    #   only 17-28% of block work is skippable (every coherent lane block
+    #   contains some surface-mode lane whose clip_max segment reaches
+    #   nearly every block). Full decomposition: docs/looped_hw.json,
+    #   tools/looped_hw_check.py --cull-ab.
 
     def max_iters(self, spp: int) -> int:
         """Loop-length safety cap: per-path worst case × samples."""
@@ -494,7 +508,18 @@ def trace_core(
                 cmax = cfg.clip_max
 
         hit_kw = (
-            {"tables": prim_tables, "tables_are_refs": tables_are_refs}
+            {
+                "tables": prim_tables,
+                "tables_are_refs": tables_are_refs,
+                # block culling (active only when the tables carry
+                # block_bounds entries — the megakernel ships them when
+                # cfg.block_cull): dead lanes don't vote in the
+                # feasibility reduce, and cull_slack absorbs the box
+                # parallel-slab drift (a freely-passing slab's hit can
+                # sit t*1e-5 outside the true box)
+                "cull_mask": alive,
+                "cull_slack": cfg.clip_max * 1e-5,
+            }
             if cfg.looped_sweep
             else {}
         )

@@ -59,9 +59,10 @@ def mosaic_check() -> bool:
 
 
 def measure(n_prims: int, blk: int | None = None, block_rows: int | None = None,
-            repeats: int = 5) -> dict:
+            repeats: int = 5, block_cull: bool | None = None) -> dict:
     """Mrays/s of prim_grid(n_prims) at the given LOOP_BLOCK / kernel
-    block height (None = production defaults)."""
+    block height (None = production defaults). ``block_cull`` overrides
+    the TraceConfig flag (None = the derived default)."""
     import bendy_tpu.ops.intersect as intersect
     import bendy_tpu.ops.pallas_trace as pallas_trace
     from bendy_tpu.film import DeviceFilm
@@ -80,6 +81,13 @@ def measure(n_prims: int, blk: int | None = None, block_rows: int | None = None,
         cam_ref = scene.find_by_tag("camera")
         scene.get_object(cam_ref).inner.aspect_ratio = 1.0
         r = Renderer(scene, Config(max_bounces=4))
+        if block_cull is not None:
+            orig_tc = r.trace_config
+
+            def tc(cfg, camera_ref=None, _o=orig_tc, _c=block_cull):
+                return _o(cfg, camera_ref)._replace(block_cull=_c)
+
+            r.trace_config = tc
         rc = RenderConfig(samples=16, subsample=Subsample(1))
         base = int.from_bytes(os.urandom(4), "little")
         t0 = time.time()
@@ -98,6 +106,7 @@ def measure(n_prims: int, blk: int | None = None, block_rows: int | None = None,
             film.block_until_ready()
             mrays.append(r.rays_traced / (time.time() - t0) / 1e6)
         return {"n_prims": n_prims, "loop_block": blk, "block_rows": block_rows,
+                "block_cull": block_cull,
                 "compile_s": round(compile_s, 1),
                 "mrays": round(statistics.median(mrays), 1),
                 "best": round(max(mrays), 1), "pallas": r.use_pallas}
@@ -134,6 +143,23 @@ if __name__ == "__main__":
                 print(f"flat={flat} n={n}: {res['mrays']} median "
                       f"{res['best']} best Mrays/s", flush=True)
         pt.FLAT_TABLES = True
+    if "--cull-ab" in sys.argv:
+        # interleaved A/B of the block-culled sweep (VERDICT r3 #2's real
+        # fix: skip primitive blocks no alive lane's segment reaches).
+        # Absolute link rates drift; only within-run pairs are comparable.
+        import json
+
+        rows = []
+        for rep in range(2):
+            for cull in (False, True):
+                for n in (258, 512):
+                    res = measure(n, repeats=3, block_cull=cull)
+                    rows.append(res)
+                    print(f"cull={cull} n={n}: {res['mrays']} median "
+                          f"{res['best']} best Mrays/s "
+                          f"(compile {res['compile_s']}s, pallas={res['pallas']})",
+                          flush=True)
+        print(json.dumps(rows))
     if "--scaling" in sys.argv:
         # the VERDICT r4 #2 target row: hold >= 50 Mrays/s at 512 prims
         import json
