@@ -1167,10 +1167,11 @@ def light_pdf_looped(
     """Compile-time-flat :func:`light_pdf`: ``fori_loop`` over light rows.
 
     Same float arithmetic in the same order as the traced (non-pruned)
-    branch of the unrolled sweep, so forcing ``looped_sweep`` on a small
+    branch of the unrolled sweep, so forcing ``looped_lights`` on a small
     scene is bit-identical. ``table`` is a prim_tables()["light"] matrix
     (XLA path, built here when None) or an SMEM ref (megakernel). Active
-    only with ``TraceConfig.looped_sweep`` — a scene with hundreds of
+    only with ``TraceConfig.looped_lights`` (derived from the light count
+    alone, render.LIGHT_LOOP_THRESHOLD) — a scene with hundreds of
     LIGHT-flagged objects otherwise hits the same superlinear-compile
     wall the primitive unroll did.
     """

@@ -141,7 +141,7 @@ def sample_light_point_looped(
     """Compile-time-flat :func:`sample_light_point`: fori_loop over light
     rows (prim_tables()["light"]; SMEM ref inside the megakernel). Same
     float arithmetic in the same order as the traced (non-pruned) branch
-    of the unrolled sweep — forcing ``looped_sweep`` on a small scene is
+    of the unrolled sweep — forcing ``looped_lights`` on a small scene is
     bit-identical. See :func:`bendy_tpu.ops.intersect.light_pdf_looped`
     for why: many-LIGHT scenes otherwise hit the unroll's superlinear
     compile wall.
@@ -232,7 +232,8 @@ def shade_surface(
         light_idx = jnp.clip(scaled.astype(jnp.int32), 0, nl - 1)
         u_face = scaled - jnp.floor(scaled)  # independent uniform given the pick
         d_cos = distr.cosine_hemisphere(n, u[2], u[3])
-        # looped_lights (rides TraceConfig.looped_sweep): fori_loop light
+        # looped_lights (TraceConfig.looped_lights, derived from the
+        # light count alone — render.LIGHT_LOOP_THRESHOLD): fori_loop light
         # sweeps — compile-time flat in the light count, bit-identical
         table_is_ref = light_table_is_ref
         if looped_lights and light_table is None:

@@ -160,13 +160,16 @@ def make_pallas_tracer(
     # primitive counts the baked unroll cannot compile
     table_keys: list = []
     tables_host: list = []
-    if cfg.looped_sweep:
+    if cfg.looped_sweep or cfg.looped_lights:
         import numpy as np
 
         from bendy_tpu.ops.intersect import block_bounds, prim_tables
 
-        tabs = prim_tables(scn_host, np)
-        if cfg.block_cull:
+        kinds = (("sph", "rct", "box") if cfg.looped_sweep else ()) + (
+            ("light",) if cfg.looped_lights else ()
+        )
+        tabs = prim_tables(scn_host, np, kinds=kinds)
+        if cfg.looped_sweep and cfg.block_cull:
             # per-fori-block bounding spheres: the sweep skips whole
             # primitive blocks no alive lane's segment can reach
             # (intersect.nearest_hit_looped cull_wrap; bit-identical)

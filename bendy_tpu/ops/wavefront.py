@@ -127,6 +127,16 @@ class TraceConfig(NamedTuple):
     #   megakernel the row tables arrive as SMEM operands (prim_tables)
     #   read with scalar loads; under plain XLA they stack from the
     #   traced scene leaves.
+    looped_lights: bool = False  # static: sweep LIGHTS with fori_loops
+    #   (sample_light_point_looped / light_pdf_looped) instead of the
+    #   per-light unroll. Decoupled from looped_sweep (r4): lights have
+    #   their own compile wall (hundreds of LIGHT objects), but a LARGE
+    #   scene with FEW lights should keep the unrolled light sweeps —
+    #   they fold axis-aligned face terms at trace time under the baked
+    #   megakernel scene (~44 -> ~17 ops per rect face), which the
+    #   row-table loads cannot. The renderer derives it from the light
+    #   count alone (render.LIGHT_LOOP_THRESHOLD); bit-identical either
+    #   way (tests/test_looped_sweep.py::test_looped_lights_bit_identical).
     block_cull: bool = False  # static: with looped_sweep in the MEGAKERNEL,
     #   ship per-fori-block bounding spheres (intersect.block_bounds) and
     #   skip whole primitive blocks no (alive) lane's feasible segment can
@@ -281,10 +291,13 @@ def trace_core(
     # from the traced scene leaves (the megakernel passes SMEM refs in
     # instead — never both)
     tables_are_refs = prim_tables is not None
-    if cfg.looped_sweep and prim_tables is None:
+    if prim_tables is None and (cfg.looped_sweep or cfg.looped_lights):
         from bendy_tpu.ops.intersect import prim_tables as _prim_tables
 
-        prim_tables = _prim_tables(scn, jnp)
+        kinds = (("sph", "rct", "box") if cfg.looped_sweep else ()) + (
+            ("light",) if cfg.looped_lights else ()
+        )
+        prim_tables = _prim_tables(scn, jnp, kinds=kinds)
     if spp_total is None:
         spp_total = spp
     # Stream ids are u32: id = (pix*spp_total + s)*nn + sub, so the id
@@ -560,7 +573,7 @@ def trace_core(
             trace_dir, hit, scn, u, cfg.clip_min, cfg.clip_max,
             has_diffuse=cfg.has_diffuse, has_metallic=cfg.has_metallic,
             has_glass=cfg.has_glass,
-            looped_lights=cfg.looped_sweep,
+            looped_lights=cfg.looped_lights,
             light_table=None if prim_tables is None else prim_tables.get("light"),
             light_table_is_ref=tables_are_refs,
         )

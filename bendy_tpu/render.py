@@ -127,6 +127,18 @@ LOOP_SWEEP_THRESHOLD = 192  # primitives (spheres + traced rects + boxes)
 #   can. Mosaic rejections fall back to the XLA path at run time.
 
 
+LIGHT_LOOP_THRESHOLD = 64  # LIGHT-flagged objects above which the light
+#   sweeps (next-event point sampling + light pdf, run EVERY diffuse
+#   shade) switch from the per-light unroll to fori_loops. Decoupled
+#   from LOOP_SWEEP_THRESHOLD (r4): a large scene with few lights keeps
+#   the unrolled light sweeps — under the baked megakernel scene they
+#   fold axis-aligned face terms at trace time (~44 -> ~17 ops per rect
+#   face), which SMEM row loads cannot. Bit-identical either way
+#   (tests/test_looped_sweep.py::test_looped_lights_bit_identical); the
+#   threshold only trades the light unroll's compile cost (~100 ops per
+#   light) against the loop's lost const folding.
+
+
 def derive_regen_every(has_masses: bool, backend: str | None = None) -> int:
     """Regen (finalize+camera) cadence for the current backend.
 
@@ -336,6 +348,7 @@ class Renderer:
             has_dof=has_dof,
             regen_every=derive_regen_every(self.has_masses),
             looped_sweep=self.prim_count > LOOP_SWEEP_THRESHOLD,
+            looped_lights=self.arrays.n_lights > LIGHT_LOOP_THRESHOLD,
             # the AOV pipeline (13 extra loop-carry arrays) compiles only
             # when an AOV channel is actually requested
             want_aovs=cfg.output is not Output.FULL,

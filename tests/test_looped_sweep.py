@@ -77,7 +77,13 @@ def _render(scene, force_looped=None, spp=4, wh=24, config=None):
         orig = r.trace_config
 
         def tc(cfg, camera_ref=None):
-            return orig(cfg, camera_ref)._replace(looped_sweep=force_looped)
+            # force BOTH loops: the bit-identity gates compare the fully
+            # looped machinery (prim + light fori sweeps) vs the fully
+            # unrolled one (the production derives them independently:
+            # LOOP_SWEEP_THRESHOLD prims / LIGHT_LOOP_THRESHOLD lights)
+            return orig(cfg, camera_ref)._replace(
+                looped_sweep=force_looped, looped_lights=force_looped
+            )
 
         r.trace_config = tc
     film = Film(wh, wh)
@@ -180,6 +186,7 @@ def test_many_lights_render():
     scene = build_light_field(200)
     img, r = _render(scene, wh=16, spp=2)
     assert r.trace_config(r.config).looped_sweep  # 201 prims: auto looped
+    assert r.trace_config(r.config).looped_lights  # 200 > LIGHT_LOOP_THRESHOLD
     assert np.isfinite(img).all()
     assert img.mean() > 0.0  # lights actually illuminate the ground
 
