@@ -293,6 +293,18 @@ def main() -> None:
             pallas=rr["pallas"])
         print(f"cloud_field (256 volume puffs): {rr['median']:.1f} Mrays/s "
               f"median ({rr['seconds_median']:.2f}s)", file=sys.stderr)
+        # cluster lensing: 64 masses through the looped mass sweep
+        # (geodesic fori over the SMEM mass table; models/mass_cluster.py)
+        mc_cfg = Config(max_bounces=2)
+        rr = timed_render(load_scene("scenes/mass_cluster.json.gz"), 256, 256,
+                          16, 1, mc_cfg, passes=4)
+        results["mass_cluster_64_looped"] = dict(
+            row(rr, workload("mass_cluster (64 masses)", 256, 256, 16, 1,
+                             mc_cfg, passes=4),
+                occ("mass_cluster", 256, 256, 16, 1, mc_cfg)),
+            pallas=rr["pallas"])
+        print(f"mass_cluster (64 looped masses): {rr['median']:.1f} Mrays/s "
+              f"median ({rr['seconds_median']:.2f}s)", file=sys.stderr)
         # sharded megakernel on a (1,1) mesh: proves the SPMD Mosaic
         # kernel (shard_map + pallas_call) compiles and runs on real TPU
         # hardware, not just in interpret mode. Multi-chip runs use the

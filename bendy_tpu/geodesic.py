@@ -182,11 +182,197 @@ def rk4_step(scn: SceneArrays, x: V3, d: V3, ds: jnp.ndarray,
     angular momenta for the whole step; without it they are recomputed
     per stage from the stage state (the original, equivalent form).
     """
-    half = ds * 0.5
     if h2s is None:
         acc = lambda xs, dstage: acceleration(scn, xs, dstage)  # noqa: E731
     else:
         acc = lambda xs, dstage: _acc_frozen(scn, xs, h2s)  # noqa: E731
+    return _rk4(acc, x, d, ds)
+
+
+MASS_BLOCK = 4  # masses unrolled per fori step in the looped mass sweep
+MASS_NCOLS = 5  # cx cy cz rs valid
+
+
+def mass_table(scn: SceneArrays, xp=jnp, block: int | None = None):
+    """Stacked ``[M_padded, 5]`` mass-row matrix for the looped mass sweep.
+
+    Same dual-build convention as ``ops.intersect.prim_tables``: ``xp=jnp``
+    stacks from the traced scene leaves (the XLA path), ``xp=numpy`` on a
+    ``host_copy()`` builds the megakernel's SMEM operand. Rows pad up to a
+    multiple of ``block`` with zeros; a pad row's ``rs == 0`` makes its
+    acceleration and capture test exactly neutral, and the ``valid``
+    column masks it out of the far-field AND and the step-size min.
+    """
+    if block is None:
+        block = MASS_BLOCK
+    f32 = xp.float32
+    M = scn.n_masses
+    rows = xp.concatenate(
+        [
+            scn.mass_center.astype(f32),  # 0:3
+            scn.mass_rs.astype(f32).reshape(M, 1),  # 3
+            xp.ones((M, 1), f32),  # 4 valid
+        ],
+        axis=1,
+    )
+    pad = (-M) % block
+    if pad:
+        rows = xp.concatenate([rows, xp.zeros((pad, MASS_NCOLS), f32)])
+    assert rows.shape[1] == MASS_NCOLS, rows.shape
+    return rows
+
+
+def _mass_row_getter(tab, base, is_ref: bool, block: int):
+    """Row loader: SMEM scalar loads inside the megakernel
+    (``is_ref=True``), a ``dynamic_slice`` block under plain XLA."""
+    if is_ref:
+        return lambda j, c: tab[base + j, c]
+    import jax
+
+    r = jax.lax.dynamic_slice_in_dim(tab, base, block, axis=0)
+    return lambda j, c: r[j, c]
+
+
+def geo_step_begin_looped(
+    scn: SceneArrays,
+    x: V3,
+    d: V3,
+    p: GeoParams,
+    table=None,
+    steps=None,
+    table_is_ref: bool = False,
+    block: int | None = None,
+):
+    """Looped-mass twin of :func:`geo_step_begin`: ``(captured, far, ds)``.
+
+    A ``lax.fori_loop`` over :func:`mass_table` rows replaces the static
+    mass unroll, so compile time is O(1) in the mass count — the same
+    trade the looped primitive sweep makes (``ops.intersect.
+    nearest_hit_looped``), extended to the geodesic propagator for
+    cluster-lensing scenes with tens-to-hundreds of masses. The per-mass
+    compares and the step-size min run in the exact order of the unroll
+    (gated by tests/test_looped_masses.py: masks exact, ds within 1 ulp —
+    XLA reassociates FMA differently across the fori/unroll graph
+    boundary, the same rounding class the megakernel parity gates
+    document).
+
+    What does NOT survive the looping is the per-mass frozen-h² list:
+    h2s is M loop-carried [B] arrays — exactly the [M,B] residency the
+    hot-path rules forbid. The looped path instead RECOMPUTES h² per RK4
+    stage (:func:`rk4_step_looped`), the ``acceleration()`` form: h is
+    conserved along the exact trajectory, so both discretizations
+    integrate the same ODE with O(ds⁵) local error; they differ at
+    rounding level, not in physics (deflection/capture gates re-run on
+    this path).
+
+    Loop carries are int32 masks (Mosaic carries no i1) and the fori
+    body is pure mask arithmetic; ``valid`` keeps pad rows out of the
+    far-field AND and the step-size min (their rs=0 already neutralizes
+    capture).
+    """
+    import jax
+
+    if block is None:
+        block = MASS_BLOCK
+    if table is None:
+        table = mass_table(scn, jnp, block)
+    B = x.x.shape
+    f32 = x.x.dtype
+    i0 = jnp.zeros(B, jnp.int32)
+    n_blocks = table.shape[0] // block
+
+    def blk(bi, carry):
+        cap, far, r2m = carry
+        g = _mass_row_getter(table, bi * block, table_is_ref, block)
+        for j in range(block):
+            cx, cy, cz, rs, valid = (g(j, c) for c in range(MASS_NCOLS))
+            vb = valid > 0.0
+            rel = csub(x, V3(cx, cy, cz))
+            r2 = rel.length_squared()
+            rd = rel.dot(d)
+            cap = jnp.maximum(cap, (r2 < rs * rs).astype(jnp.int32))
+            far_k = ((r2 > (p.far * rs) ** 2) & (rd > 0.0)).astype(jnp.int32)
+            far = far * jnp.maximum(far_k, 1 - vb.astype(jnp.int32))
+            r2m = jnp.minimum(r2m, jnp.where(vb, r2, jnp.inf))
+        return cap, far, r2m
+
+    cap, far, r2m = jax.lax.fori_loop(
+        0, n_blocks, blk, (i0, i0 + 1, jnp.full(B, jnp.inf, f32))
+    )
+    eta = p.eta
+    if steps is not None and p.growth:
+        eta = eta * (1.0 + p.growth * steps.astype(f32))
+    ds = jnp.clip(eta * jnp.sqrt(r2m), p.min_step, p.max_step)
+    return cap != 0, far != 0, ds
+
+
+def _acc_looped(x: V3, d: V3, table, table_is_ref: bool, block: int) -> V3:
+    """Acceleration summed over a mass table with a ``fori_loop``.
+
+    h² is recomputed from the stage state via the Lagrange identity
+    |rel×d|² = r²·|d|² − (rel·d)² — the same expression
+    :func:`geo_step_begin` uses, term-for-term, so the looped and
+    unrolled forms of this sweep are bit-identical at equal mass order.
+    Pad rows have rs = 0, making their contribution an exact zero — no
+    validity multiply needed on this, the hottest geodesic loop
+    (4 stages × M masses per iteration).
+    """
+    import jax
+
+    B = x.x.shape
+    f32 = x.x.dtype
+    d2 = d.length_squared()
+    n_blocks = table.shape[0] // block
+
+    def blk(bi, a):
+        ax, ay, az = a
+        g = _mass_row_getter(table, bi * block, table_is_ref, block)
+        for j in range(block):
+            cx, cy, cz, rs = (g(j, c) for c in range(4))
+            rel = csub(x, V3(cx, cy, cz))
+            r2 = rel.length_squared()
+            rd = rel.dot(d)
+            h2 = jnp.maximum(r2 * d2 - rd * rd, 0.0)
+            inv_r = jnp.where(r2 > 0.0, 1.0 / jnp.sqrt(jnp.maximum(r2, 1e-20)), 0.0)
+            inv_r5 = inv_r * inv_r * inv_r * inv_r * inv_r
+            s = (-1.5 * rs) * (h2 * inv_r5)
+            ax = ax + rel.x * s
+            ay = ay + rel.y * s
+            az = az + rel.z * s
+        return ax, ay, az
+
+    z = jnp.zeros(B, f32)
+    ax, ay, az = jax.lax.fori_loop(0, n_blocks, blk, (z, z, z))
+    return V3(ax, ay, az)
+
+
+def rk4_step_looped(
+    scn: SceneArrays,
+    x: V3,
+    d: V3,
+    ds: jnp.ndarray,
+    table=None,
+    table_is_ref: bool = False,
+    block: int | None = None,
+) -> tuple[V3, V3]:
+    """Looped-mass RK4 step: per-mass h² recomputed per stage.
+
+    The frozen-h² production step (:func:`rk4_step` with ``h2s``) would
+    need M loop-carried [B] angular momenta; this variant trades the
+    three saved Lagrange evaluations for O(1)-in-M compile and state —
+    see :func:`geo_step_begin_looped`.
+    """
+    if block is None:
+        block = MASS_BLOCK
+    if table is None:
+        table = mass_table(scn, jnp, block)
+    acc = lambda xs, dstage: _acc_looped(xs, dstage, table, table_is_ref, block)  # noqa: E731
+    return _rk4(acc, x, d, ds)
+
+
+def _rk4(acc, x: V3, d: V3, ds: jnp.ndarray) -> tuple[V3, V3]:
+    """The shared four-stage RK4 body (one ``acc(x, d)`` callable)."""
+    half = ds * 0.5
     k1x, k1d = d, acc(x, d)
     k2x = d + k1d * half
     k2d = acc(x + k1x * half, k2x)

@@ -586,6 +586,12 @@ def prim_tables(scn: SceneArrays, xp=jnp, block: int | None = None,
                 axis=1,
             )
         )
+    if "mass" in kinds and scn.n_masses:
+        # geodesic point masses for the looped mass sweep ([M_pad, 5]:
+        # cx cy cz rs valid; layout + padding owned by bendy_tpu.geodesic)
+        from bendy_tpu.geodesic import mass_table
+
+        out["mass"] = mass_table(scn, xp)
     if "light" in kinds and scn.n_lights:
         L = scn.n_lights
         F = scn.light_face_cdf.shape[1]

@@ -160,13 +160,15 @@ def make_pallas_tracer(
     # primitive counts the baked unroll cannot compile
     table_keys: list = []
     tables_host: list = []
-    if cfg.looped_sweep or cfg.looped_lights:
+    if cfg.looped_sweep or cfg.looped_lights or cfg.looped_masses:
         import numpy as np
 
         from bendy_tpu.ops.intersect import block_bounds, prim_tables
 
-        kinds = (("sph", "rct", "box") if cfg.looped_sweep else ()) + (
-            ("light",) if cfg.looped_lights else ()
+        kinds = (
+            (("sph", "rct", "box") if cfg.looped_sweep else ())
+            + (("light",) if cfg.looped_lights else ())
+            + (("mass",) if cfg.looped_masses else ())
         )
         tabs = prim_tables(scn_host, np, kinds=kinds)
         if cfg.looped_sweep and cfg.block_cull:

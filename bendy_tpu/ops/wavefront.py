@@ -52,7 +52,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from bendy_tpu.geodesic import GeoParams, geo_step_begin, rk4_step
+from bendy_tpu.geodesic import (
+    GeoParams,
+    geo_step_begin,
+    geo_step_begin_looped,
+    rk4_step,
+    rk4_step_looped,
+)
 from bendy_tpu.ops.camera import CameraParams, camera_ray, ndc_base
 from bendy_tpu.ops.intersect import (
     FACE_BACK,
@@ -137,6 +143,17 @@ class TraceConfig(NamedTuple):
     #   row-table loads cannot. The renderer derives it from the light
     #   count alone (render.LIGHT_LOOP_THRESHOLD); bit-identical either
     #   way (tests/test_looped_sweep.py::test_looped_lights_bit_identical).
+    looped_masses: bool = False  # static: sweep geodesic MASSES with
+    #   fori_loops (geo_step_begin_looped + rk4_step_looped over a
+    #   [M_pad, 5] mass table) instead of the per-mass unroll — the
+    #   cluster-lensing scale path (tens-to-hundreds of masses compile
+    #   flat). The unrolled path's frozen-h² list would be M loop-carried
+    #   [B] arrays here, so the looped step recomputes h² per RK4 stage
+    #   (same ODE, O(ds⁵) local error either way; physics gates re-run
+    #   on this path — tests/test_looped_masses.py). The renderer
+    #   derives it from the mass count (render.MASS_LOOP_THRESHOLD);
+    #   the megakernel ships the table as an SMEM operand like the
+    #   primitive tables.
     block_cull: bool = False  # static: with looped_sweep in the MEGAKERNEL,
     #   ship per-fori-block bounding spheres (intersect.block_bounds) and
     #   skip whole primitive blocks no (alive) lane's feasible segment can
@@ -291,11 +308,15 @@ def trace_core(
     # from the traced scene leaves (the megakernel passes SMEM refs in
     # instead — never both)
     tables_are_refs = prim_tables is not None
-    if prim_tables is None and (cfg.looped_sweep or cfg.looped_lights):
+    if prim_tables is None and (
+        cfg.looped_sweep or cfg.looped_lights or cfg.looped_masses
+    ):
         from bendy_tpu.ops.intersect import prim_tables as _prim_tables
 
-        kinds = (("sph", "rct", "box") if cfg.looped_sweep else ()) + (
-            ("light",) if cfg.looped_lights else ()
+        kinds = (
+            (("sph", "rct", "box") if cfg.looped_sweep else ())
+            + (("light",) if cfg.looped_lights else ())
+            + (("mass",) if cfg.looped_masses else ())
         )
         prim_tables = _prim_tables(scn, jnp, kinds=kinds)
     if spp_total is None:
@@ -484,9 +505,17 @@ def trace_core(
             # binds surface-mode lanes (geo_steps does not advance during
             # a march).
             surf_mode = mode == MODE_SURFACE
-            captured, far_field, ds, h2s = geo_step_begin(
-                scn, org, dirv, geo, steps=geo_steps
-            )
+            if cfg.looped_masses:
+                mass_tab = prim_tables["mass"]
+                captured, far_field, ds = geo_step_begin_looped(
+                    scn, org, dirv, geo, table=mass_tab, steps=geo_steps,
+                    table_is_ref=tables_are_refs,
+                )
+                h2s = None
+            else:
+                captured, far_field, ds, h2s = geo_step_begin(
+                    scn, org, dirv, geo, steps=geo_steps
+                )
             swallowed = captured | (surf_mode & (geo_steps > geo.max_steps))
             mode = mode * (1 - ((mode != MODE_DEAD) & swallowed).astype(jnp.int32))
 
@@ -495,7 +524,13 @@ def trace_core(
 
         # === propagation segment + one intersection sweep ==================
         if cfg.geodesic:
-            x_next, d_next = rk4_step(scn, org, dirv, ds, h2s=h2s)
+            if cfg.looped_masses:
+                x_next, d_next = rk4_step_looped(
+                    scn, org, dirv, ds, table=mass_tab,
+                    table_is_ref=tables_are_refs,
+                )
+            else:
+                x_next, d_next = rk4_step(scn, org, dirv, ds, h2s=h2s)
             chord = x_next - org
             chord_len = chord.length()
             seg_dir = chord * (1.0 / jnp.maximum(chord_len, 1e-20))

@@ -139,6 +139,20 @@ LIGHT_LOOP_THRESHOLD = 64  # LIGHT-flagged objects above which the light
 #   light) against the loop's lost const folding.
 
 
+MASS_LOOP_THRESHOLD = 8  # geodesic point masses above which the mass
+#   sweep (capture/far/step + 4 RK4-stage accelerations, run EVERY
+#   geodesic iteration) switches from the static per-mass unroll to
+#   fori_loops over a [M_pad, 5] mass table (geodesic.mass_table) — the
+#   cluster-lensing scale path. The unrolled form carries one frozen-h²
+#   [B] array per mass across the whole loop body (exactly the [M,B]
+#   residency the hot-path rules forbid) and its compile time grows with
+#   the mass count like any unroll; the looped form recomputes h² per
+#   stage (same ODE; physics + parity gates in
+#   tests/test_looped_masses.py) and compiles O(1) in M. Every bundled
+#   1-2-mass scene keeps the tuned unroll; the megakernel ships the
+#   table as an SMEM operand like the primitive tables.
+
+
 def derive_regen_every(has_masses: bool, backend: str | None = None) -> int:
     """Regen (finalize+camera) cadence for the current backend.
 
@@ -349,6 +363,7 @@ class Renderer:
             regen_every=derive_regen_every(self.has_masses),
             looped_sweep=self.prim_count > LOOP_SWEEP_THRESHOLD,
             looped_lights=self.arrays.n_lights > LIGHT_LOOP_THRESHOLD,
+            looped_masses=self.arrays.n_masses > MASS_LOOP_THRESHOLD,
             # the AOV pipeline (13 extra loop-carry arrays) compiles only
             # when an AOV channel is actually requested
             want_aovs=cfg.output is not Output.FULL,
