@@ -42,7 +42,7 @@ HEAVY = {
     ("test_geodesic", "TestImageOracle"),
     ("test_looped_masses", "test_weak_field_angle_looped"),
     ("test_looped_masses", "test_mass_cluster_matches_native_oracle"),
-    ("test_looped_masses", "test_megakernel_interpret_matches_xla_looped"),
+    ("test_looped_masses", "test_megakernel"),
     ("test_pallas", "test_megakernel"),
     ("test_parallel", "test_row_chunking_bit_identical"),
     ("test_parallel", "test_sharded_equals_single_device"),

@@ -233,6 +233,100 @@ def test_mass_cluster_matches_native_oracle():
     assert corr > 0.92, corr
 
 
+def test_megakernel_looped_masses_with_volume_march():
+    """Mode combination: looped masses x volume march. Capture must apply
+    to marching lanes through the LOOPED begin sweep too (a medium
+    enclosing a mass must not let straight march segments tunnel through
+    the horizon — the blackhole_cloud semantic), and the megakernel must
+    run the mass fori and the baked scalar-unroll density lookup in one
+    body. Gate: interpret kernel == XLA, volume-knife-edge tolerant."""
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer, pack_camera
+    from bendy_tpu.ops.wavefront import trace
+    from bendy_tpu.scene.graph import DensityMap
+    from bendy_tpu.utils.rng import render_key
+
+    scene = multi_mass_scene(12)
+    vol = scene.add_data(Data(DensityMap.with_func(
+        8, 8, 8, lambda x, y, z: 1.5 if (x + y + z) % 3 == 0 else 0.0)))
+    shell = scene.add_data(Data(Material.flat((1.0, 1.0, 1.0))))
+    scene.add_object(Object(Sphere(material=shell, radius=2.5, volume=vol)))
+
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(max_bounces=2, max_volume_bounces=8,
+                               geo=GeoParams(max_steps=64)),
+                 use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)._replace(looped_masses=True)
+    assert cfg.geodesic and cfg.has_volumes
+
+    W = H = 16
+    spp = 1
+    B = W * H
+    pix = jnp.arange(B, dtype=jnp.uint32)
+    sub = jnp.zeros(B, jnp.uint32)
+    key = render_key(jnp.uint32(21), jnp.uint32(0))
+
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(r.arrays, W, H, spp, 1, cfg,
+                              block_rows=B // 128, interpret=True)
+    pal = kern(pack_camera(cam), jnp.uint32(21), jnp.uint32(0), pix, sub)
+    # volume scatter decisions are Bernoulli knife-edges: different
+    # rounding between the block-shaped kernel and the flat XLA graph can
+    # flip isolated lanes (same tolerance as test_pallas._volume_parity)
+    for ch in ("x", "y", "z"):
+        a = np.asarray(getattr(pal.radiance, ch))
+        b = np.asarray(getattr(xla.radiance, ch))
+        off = np.abs(a - b) > (5e-4 * np.abs(b) + 1e-5)
+        assert off.mean() <= 1 / 128, f"{ch}: {off.sum()} lanes diverged"
+        assert abs(a.mean() - b.mean()) < 5e-3
+
+
+def test_megakernel_all_tables_together():
+    """Every SMEM table at once: looped primitives (sph/rct/box) +
+    looped lights + looped masses in ONE kernel — gates the table-key
+    ordering and ref plumbing end to end. Interpret kernel == XLA."""
+    from bendy_tpu.models.prim_grid import build_prim_grid
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer, pack_camera
+    from bendy_tpu.ops.wavefront import trace
+    from bendy_tpu.utils.rng import render_key
+
+    scene = build_prim_grid(24)
+    for k in range(10):
+        scene.add_object(
+            Object()
+            .with_tag(f"mass:{0.01 * (1 + k % 2)}")
+            .with_translation([0.5 * k - 2.2, 0.3 * (k % 3), -2.0])
+        )
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = 1.0
+    r = Renderer(scene, Config(max_bounces=2, geo=GeoParams(max_steps=48)),
+                 use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config)._replace(
+        looped_sweep=True, looped_lights=True, looped_masses=True)
+    assert cfg.geodesic
+
+    W = H = 16
+    spp = 1
+    B = W * H
+    pix = jnp.arange(B, dtype=jnp.uint32)
+    sub = jnp.zeros(B, jnp.uint32)
+    key = render_key(jnp.uint32(33), jnp.uint32(0))
+
+    xla = trace(r.arrays, cam, key, pix, sub, W, H, spp, 1, cfg)
+    kern = make_pallas_tracer(r.arrays, W, H, spp, 1, cfg,
+                              block_rows=B // 128, interpret=True)
+    pal = kern(pack_camera(cam), jnp.uint32(33), jnp.uint32(0), pix, sub)
+    for ch in ("x", "y", "z"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(pal.radiance, ch)),
+            np.asarray(getattr(xla.radiance, ch)),
+            rtol=5e-4, atol=1e-5,
+        )
+    assert float(pal.rays) == pytest.approx(float(xla.rays))
+
+
 def test_megakernel_interpret_matches_xla_looped_masses():
     """The SMEM mass-table plumbing: megakernel (interpret) == XLA path
     with looped_masses, same tolerance as the other kernel parity gates."""
