@@ -37,10 +37,21 @@ def test_load_bundled(path):
     scene = load_scene(path)
     assert scene.find_by_tag("camera") is not None
     assert len(scene.objects) >= 4
-    # every scene has at least one LIGHT-flagged object (the reference's
-    # diffuse shader would panic otherwise, material.rs:112)
-    lights = [o for o in scene.iter() if o.has_flags(ObjectFlags.LIGHT)]
-    assert lights
+    # Scenes that shade any Diffuse material need >= 1 LIGHT-flagged
+    # object (the reference panics otherwise, material.rs:106-119; our
+    # compiler raises the same way, scene/compiler.py). Pure
+    # emissive/flat scenes (e.g. mass_cluster) legitimately have none —
+    # the reference's panic path is unreachable for them.
+    diffuse_users = [
+        d for d in scene.data.values()
+        if d.as_material() is not None and d.as_material().kind == "diffuse"
+    ]
+    if diffuse_users:
+        lights = [o for o in scene.iter() if o.has_flags(ObjectFlags.LIGHT)]
+        assert lights
+    # and every bundled scene must compile (the compiler re-checks the
+    # diffuse/light invariant itself)
+    compile_scene(scene)
 
 
 @pytest.mark.parametrize("path", SCENES)

@@ -25,6 +25,36 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Every bundled scene: flat, volumetric, dense-grid, geodesic, and the
+# geodesic x media showcases (multi-mass incl.). tests/test_scene.py
+# cross-checks this table against scenes/*.json.gz and docs/fidelity.json
+# so a new bundled scene cannot ship without a fidelity entry.
+FIDELITY_SCENES = {
+    "cornell": {},
+    "cornell2": {},
+    "scene": {},
+    "volume": {},
+    "cloud": {},
+    "dense_cloud": {},
+    "cuboid_light": {},  # F>1 face-CDF light sampling (VERDICT r3 #3)
+    "blackhole": {"geodesic": True},
+    "binary_blackhole": {"geodesic": True},
+    "blackhole_cloud": {"geodesic": True, "volume_step": 0.6},
+    # 256 volume puffs through the looped primitive sweep's march path.
+    # Reduced ref/spot spp: the O(prims)-per-march-step oracle costs
+    # ~30x cornell per sample on this 1-core host; 4096 keeps ref noise
+    # ~16x below the largest compared spp point (256).
+    "cloud_field": {"ref_spp": 4096, "spot_ref_spp": 1024,
+                    "spp": [16, 64, 256]},
+    # 64 looped masses; emissive-only, so paths are deterministic per
+    # (pixel, sample) — only camera jitter is random. The oracle
+    # recomputes h per RK4 stage, the SAME discretization as the looped
+    # mass sweep (see tests/test_looped_masses.py), so modest ref spp
+    # suffices; near-caustic pixels are chaos-limited and the spot
+    # corr_noise_ceiling is the honest yardstick there.
+    "mass_cluster": {"geodesic": True, "ref_spp": 256},
+}
+
 
 def render_ours(scene, cam_ref, width, height, spp, max_bounces, seed=5,
                 volume_step=None):
@@ -73,20 +103,7 @@ def main() -> int:
 
     W = H = args.res
     out = {}
-    # every bundled scene: flat, volumetric, dense-grid, geodesic, and
-    # the geodesic x media showcases (multi-mass incl.)
-    scenes = {
-        "cornell": {},
-        "cornell2": {},
-        "scene": {},
-        "volume": {},
-        "cloud": {},
-        "dense_cloud": {},
-        "cuboid_light": {},  # F>1 face-CDF light sampling (VERDICT r3 #3)
-        "blackhole": {"geodesic": True},
-        "binary_blackhole": {"geodesic": True},
-        "blackhole_cloud": {"geodesic": True, "volume_step": 0.6},
-    }
+    scenes = dict(FIDELITY_SCENES)
     if args.scenes:
         scenes = {k: scenes[k] for k in args.scenes}
     for name, opts in scenes.items():
@@ -99,6 +116,7 @@ def main() -> int:
         vstep = opts.get("volume_step")
         mb = 2 if geodesic else args.max_bounces
         ref_spp = args.ref_spp_geodesic if geodesic else args.ref_spp
+        ref_spp = opts.get("ref_spp", ref_spp)
         okw = {"max_bounces": mb}
         if vstep is not None:
             okw["volume_step"] = vstep
@@ -107,11 +125,12 @@ def main() -> int:
                 scene, Config(max_bounces=mb)
             ).trace_config(Config(max_bounces=mb), cam_ref).geo
         entry = {}
+        spot_ref = opts.get("spot_ref_spp", args.spot_ref_spp)
         for res_px, spps, tag in (
-            (args.res, args.spp, ""),
+            (args.res, opts.get("spp", args.spp), ""),
             (args.spot_res, [args.spot_spp], "spot"),
         ):
-            rspp = min(ref_spp, args.spot_ref_spp) if tag else ref_spp
+            rspp = min(ref_spp, spot_ref) if tag else ref_spp
             t0 = time.time()
             ref = oracle_render_scene(scene, res_px, res_px, rspp, seed=11,
                                       **okw)
