@@ -46,6 +46,7 @@ HEAVY = {
     ("test_pallas", "test_megakernel"),
     ("test_parallel", "test_row_chunking_bit_identical"),
     ("test_parallel", "test_sharded_equals_single_device"),
+    ("test_parallel", "test_sharded_modes_equal_single_device"),
     ("test_specialize", "test_diffuse_only_specialization_exact"),
     ("test_specialize", "test_no_diffuse_no_dof_specialization_exact"),
     ("test_render", "test_device_film_matches_host_film"),
