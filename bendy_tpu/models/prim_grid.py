@@ -162,11 +162,17 @@ def build_cuboid_light(seed: int = 13) -> Scene:
     return scene
 
 
-def build_prim_grid(n: int, seed: int = 7) -> Scene:
+def build_prim_grid(n: int, seed: int = 7, mix: str = "full") -> Scene:
     """A scene with ``n`` field primitives (spheres/cuboids alternating).
 
     Tracer sweep size: ~n/2 spheres + ~n/2 three-slab boxes + 2 rects
     (ground + light).
+
+    ``mix="diffuse"`` restricts field materials to the two diffuse
+    entries: the derived config then has ``has_metallic = has_glass =
+    False``, so the looped sweep legitimately compiles with the rough/
+    ior attribute carries off — the workload for the dead-column A/B
+    (tools/looped_hw_check.py --carry-ab).
     """
     rng = random.Random(seed)
     scene = Scene()
@@ -206,9 +212,14 @@ def build_prim_grid(n: int, seed: int = 7) -> Scene:
     mats = [
         scene.add_data(Data(Material.diffuse((0.75, 0.35, 0.3), 0.7))),
         scene.add_data(Data(Material.diffuse((0.3, 0.6, 0.75), 0.7))),
-        scene.add_data(Data(Material.metallic((0.85, 0.8, 0.7), 0.05))),
-        scene.add_data(Data(Material.glass((0.95, 0.97, 0.99), 0.0, 1.45))),
     ]
+    if mix == "full":
+        mats += [
+            scene.add_data(Data(Material.metallic((0.85, 0.8, 0.7), 0.05))),
+            scene.add_data(Data(Material.glass((0.95, 0.97, 0.99), 0.0, 1.45))),
+        ]
+    elif mix != "diffuse":
+        raise ValueError(f"unknown mix {mix!r}")
 
     count = 0
     for gz in range(side):

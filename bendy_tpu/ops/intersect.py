@@ -474,6 +474,15 @@ CULL_PROBE = None  # perf-probe knob for the block cull (tools only):
 #   that is always true — isolating the while-as-cond BOUNDARY cost from
 #   the test + cross-lane-reduce cost (docs/looped_hw.json cull rows).
 
+CARRY_PROBE = None  # perf-probe knob (tools/looped_hw_check.py --carry-ab):
+#   "force_on" makes nearest_hit_looped behave as if every attribute
+#   carry were needed — the cold columns are loaded and c_rough/c_ior/
+#   c_vgrid/c_vsize ride the fori carry as [B] arrays. On a scene whose
+#   static config has the carries OFF the film is identical (the loaded
+#   values feed only compile-time-pruned shade branches), so an
+#   interleaved A/B measures exactly what dead column loads + dead [B]
+#   loop carries cost (VERDICT r4 item 4).
+
 LIGHT_FACE_COLS = 23  # per-face column span in the light table
 
 # sweep-table column counts (the prim_tables layouts below). The
@@ -805,6 +814,8 @@ def nearest_hit_looped(
 
     if block is None:
         block = LOOP_BLOCK  # late-bound: tools can tune the module knob
+    if CARRY_PROBE == "force_on":
+        carry_rough = carry_ior = carry_volumes = True
     B = org.x.shape
     f32 = org.x.dtype
     zero = jnp.zeros(B, f32)
@@ -829,6 +840,15 @@ def nearest_hit_looped(
         c_vgrid: jnp.ndarray
         c_vsize: V3
 
+    # Statically-dead attribute carries collapse to SCALARS (the same
+    # rule the wavefront's while carries follow — a fori carry is live
+    # across the whole looped sweep, so a never-updated [B] array costs
+    # vreg/VMEM residency every block-iteration for nothing). The body
+    # only _replace()s these under the matching carry_* flag, so the
+    # scalar rides through untouched; placeholder values match the
+    # unrolled sweep's (rough 0, ior 1, vgrid -1, vsize 0) and their
+    # consumers are compile-time pruned under the same static flags.
+    zs = jnp.zeros((), f32)
     st = _Sweep(
         t_best=jnp.full(B, INF, f32),
         is_sph=i0,
@@ -840,10 +860,10 @@ def nearest_hit_looped(
         c_p=zero,
         c_mtype=i0,
         c_color=V3(zero, zero, zero),
-        c_rough=zero,
-        c_ior=zero + 1.0,
-        c_vgrid=i0 - 1,
-        c_vsize=V3(zero, zero, zero),
+        c_rough=zero if carry_rough else zs,
+        c_ior=(zero + 1.0) if carry_ior else (zs + 1.0),
+        c_vgrid=(i0 - 1) if carry_volumes else (jnp.zeros((), jnp.int32) - 1),
+        c_vsize=V3(zero, zero, zero) if carry_volumes else V3(zs, zs, zs),
     )
 
     end = org + dir * cmax if march is not None else None

@@ -120,6 +120,36 @@ def test_looped_render_bit_identical_modes(name):
     assert np.array_equal(img_u, img_l)
 
 
+def test_looped_render_bit_identical_carries_off():
+    """Diffuse-only mix: the derived config compiles the rough/ior
+    attribute carries OFF, which skips their column loads and
+    scalar-collapses the dead _Sweep fori carries (ops/intersect.py).
+    The render must stay bit-identical to the unrolled sweep, and the
+    CARRY_PROBE="force_on" arm (the --carry-ab A/B's old behavior:
+    loads + [B] carries) must produce the identical film as well."""
+    import bendy_tpu.ops.intersect as intersect
+
+    img_u, r = _render(build_prim_grid(8, mix="diffuse"), force_looped=False)
+    cfg = r.trace_config(r.config)
+    assert not cfg.has_metallic and not cfg.has_glass and not cfg.has_volumes
+    img_l, _ = _render(build_prim_grid(8, mix="diffuse"), force_looped=True)
+    assert np.array_equal(img_u, img_l)
+
+    # force_on at a fresh static shape (wh=20): the jitted trace caches
+    # on statics, so reusing wh=24 would silently return the cached
+    # carries-off executable instead of compiling the probe arm
+    img_u2, _ = _render(build_prim_grid(8, mix="diffuse"),
+                        force_looped=False, wh=20)
+    old = intersect.CARRY_PROBE
+    intersect.CARRY_PROBE = "force_on"
+    try:
+        img_f, _ = _render(build_prim_grid(8, mix="diffuse"),
+                           force_looped=True, wh=20)
+    finally:
+        intersect.CARRY_PROBE = old
+    assert np.array_equal(img_u2, img_f)
+
+
 def test_loop_policy_derivation():
     """Renderer derives looped_sweep above the threshold, never below, and
     keeps the megakernel off the looped path."""

@@ -59,10 +59,12 @@ def mosaic_check() -> bool:
 
 
 def measure(n_prims: int, blk: int | None = None, block_rows: int | None = None,
-            repeats: int = 5, block_cull: bool | None = None) -> dict:
+            repeats: int = 5, block_cull: bool | None = None,
+            mix: str = "full", carry_probe: str | None = None) -> dict:
     """Mrays/s of prim_grid(n_prims) at the given LOOP_BLOCK / kernel
     block height (None = production defaults). ``block_cull`` overrides
-    the TraceConfig flag (None = the derived default)."""
+    the TraceConfig flag (None = the derived default). ``mix``/
+    ``carry_probe`` drive the dead-column A/B (--carry-ab)."""
     import bendy_tpu.ops.intersect as intersect
     import bendy_tpu.ops.pallas_trace as pallas_trace
     from bendy_tpu.film import DeviceFilm
@@ -71,13 +73,15 @@ def measure(n_prims: int, blk: int | None = None, block_rows: int | None = None,
 
     old_blk = intersect.LOOP_BLOCK
     old_rows_for = pallas_trace.rows_for
+    old_carry = intersect.CARRY_PROBE
     if blk is not None:
         intersect.LOOP_BLOCK = blk  # late-bound by prim_tables/nearest_hit_looped
     if block_rows is not None:
         # late-bound too (match the production signature incl. vol_operand)
         pallas_trace.rows_for = lambda cfg, vol_operand=False: block_rows
+    intersect.CARRY_PROBE = carry_probe
     try:
-        scene = build_prim_grid(n_prims)
+        scene = build_prim_grid(n_prims, mix=mix)
         cam_ref = scene.find_by_tag("camera")
         scene.get_object(cam_ref).inner.aspect_ratio = 1.0
         r = Renderer(scene, Config(max_bounces=4))
@@ -106,13 +110,14 @@ def measure(n_prims: int, blk: int | None = None, block_rows: int | None = None,
             film.block_until_ready()
             mrays.append(r.rays_traced / (time.time() - t0) / 1e6)
         return {"n_prims": n_prims, "loop_block": blk, "block_rows": block_rows,
-                "block_cull": block_cull,
+                "block_cull": block_cull, "mix": mix, "carry_probe": carry_probe,
                 "compile_s": round(compile_s, 1),
                 "mrays": round(statistics.median(mrays), 1),
                 "best": round(max(mrays), 1), "pallas": r.use_pallas}
     finally:
         intersect.LOOP_BLOCK = old_blk
         pallas_trace.rows_for = old_rows_for
+        intersect.CARRY_PROBE = old_carry
 
 
 def block_sweep(n_prims: int = 256) -> None:
@@ -156,6 +161,27 @@ if __name__ == "__main__":
                     res = measure(n, repeats=3, block_cull=cull)
                     rows.append(res)
                     print(f"cull={cull} n={n}: {res['mrays']} median "
+                          f"{res['best']} best Mrays/s "
+                          f"(compile {res['compile_s']}s, pallas={res['pallas']})",
+                          flush=True)
+        print(json.dumps(rows))
+    if "--carry-ab" in sys.argv:
+        # interleaved A/B of the dead attribute columns + dead [B] fori
+        # carries (VERDICT r4 item 4): a DIFFUSE-only field compiles the
+        # rough/ior carries off; CARRY_PROBE="force_on" restores the old
+        # behavior (loads + [B] carries) with an identical film. The
+        # carries-off config also scalar-collapses the dead _Sweep
+        # carries (ops/intersect.py). Within-run pairs only (link drift).
+        import json
+
+        rows = []
+        for rep in range(2):
+            for probe in (None, "force_on"):
+                for n in (258, 512):
+                    res = measure(n, repeats=3, mix="diffuse",
+                                  carry_probe=probe)
+                    rows.append(res)
+                    print(f"carry_probe={probe} n={n}: {res['mrays']} median "
                           f"{res['best']} best Mrays/s "
                           f"(compile {res['compile_s']}s, pallas={res['pallas']})",
                           flush=True)
