@@ -82,6 +82,13 @@ MODE_MARCH = 2
 
 N_UNIFORMS = 6  # see ops.materials / ops.volume uniform layouts
 
+RAYS_COUNT = "alive"  # probe knob (tools/phase_probe.py --march-share):
+#   "march" makes the per-lane rays counter count MODE_MARCH lanes
+#   instead of alive lanes, so rays(march)/rays(alive) over two fresh
+#   traces measures the march share of lane-iterations — the weight on
+#   the marchspec phase bound. Read at trace time; production value
+#   "alive" compiles the identical counter as always.
+
 
 class TraceConfig(NamedTuple):
     """Static trace knobs (defaults = ``Config::DEFAULT``, ``tracer/mod.rs:29-38``)."""
@@ -154,6 +161,22 @@ class TraceConfig(NamedTuple):
     #   derives it from the mass count (render.MASS_LOOP_THRESHOLD);
     #   the megakernel ships the table as an SMEM operand like the
     #   primitive tables.
+    march_every: int = 0  # static march-iteration cadence (0/1 = off): at
+    #   m >= 2 the loop interleaves ONE full iteration with m-1
+    #   MARCH-SPECIALIZED iterations compiled without the regen/camera
+    #   block, the surface-shade block (incl. the diffuse next-event
+    #   machinery and its extra pcg4d draw), and the surface bounce cap —
+    #   only MODE_MARCH lanes advance; surface/dead lanes freeze and
+    #   resume on the next full iteration. BIT-IDENTICAL to march_every=0
+    #   (gated: tests/test_march_cadence.py): a frozen lane's path_step
+    #   does not advance, so on resume it redraws the SAME uniforms and
+    #   recomputes the SAME hit the unsplit schedule would have used, and
+    #   a march lane that hits a plain surface inside its step freezes
+    #   (the full iteration re-runs that sweep and shades it
+    #   identically). Requires has_volumes, no geodesic, regen_every=1,
+    #   and march_every | pending_check. The win condition is
+    #   march-dominated iteration mixes (tools/phase_probe.py
+    #   --march-share weights the marchspec phase bound).
     block_cull: bool = False  # static: with looped_sweep in the MEGAKERNEL,
     #   ship per-fori-block bounding spheres (intersect.block_bounds) and
     #   skip whole primitive blocks no (alive) lane's feasible segment can
@@ -181,7 +204,13 @@ class TraceConfig(NamedTuple):
         # case gains spp*(k-1) extra iterations (without this, a
         # hand-built config whose paths all hit the bounce cap could hit
         # the cap and silently drop tail samples)
-        return per_path * spp + spp * (self.regen_every - 1)
+        cap = per_path * spp + spp * (self.regen_every - 1)
+        if self.march_every > 1:
+            # every surface event (and the regen) can wait up to m-1
+            # march-only iterations; an all-surface path advances only on
+            # the 1-in-m full iterations
+            cap *= self.march_every
+        return cap
 
 
 class TraceSums(NamedTuple):
@@ -300,6 +329,18 @@ def trace_core(
             f"pending_check={cfg.pending_check} (the cadence is a static "
             "unroll of one regen + k-1 no-regen iterations)"
         )
+    if cfg.march_every > 1:
+        if not cfg.has_volumes or cfg.geodesic:
+            raise ValueError(
+                "march_every needs has_volumes and no geodesic (march-"
+                "specialized iterations advance MODE_MARCH lanes only)"
+            )
+        if cfg.regen_every != 1 or cfg.pending_check % cfg.march_every:
+            raise ValueError(
+                f"march_every={cfg.march_every} requires regen_every=1 "
+                f"(full iterations regen) and must divide "
+                f"pending_check={cfg.pending_check}"
+            )
     B = pix.shape
     n = max(subsample, 1)
     nn = n * n
@@ -708,7 +749,126 @@ def trace_core(
             acc_alb=acc_alb,
             acc_nrm=acc_nrm,
             acc_dep=acc_dep,
-            rays=s.rays + alive.astype(jnp.float32),
+            rays=s.rays + (march if RAYS_COUNT == "march" else alive).astype(
+                jnp.float32
+            ),
+        )
+
+    def body_march(s: _State) -> _State:
+        """March-specialized iteration (``cfg.march_every`` > 1).
+
+        Advances MODE_MARCH lanes only; everything else freezes.
+        Compile-time absent vs the full body: the regen/camera block, the
+        surface bounce cap, shade_surface (incl. the diffuse next-event
+        machinery and its second pcg4d block: volume consumes u[0..3],
+        which a 4-slot draw reproduces bit-exactly), and the surf AOV
+        claim. A march lane that hits a plain SURFACE inside its step
+        also freezes — the next full iteration recomputes the identical
+        sweep (same org/dir/clip/path_step) and shades it with the same
+        uniforms, so the whole schedule is bit-identical to
+        march_every=0; only the iteration count changes.
+        """
+        march0 = s.mode == MODE_MARCH
+        # volume-bounce cap kill at path entry (same path point as the
+        # full body's over_v; the dead lane folds on the next regen)
+        over_v = march0 & (s.vbounce > cfg.max_volume_bounces)
+        mode = s.mode * (1 - over_v.astype(jnp.int32))
+        march = mode == MODE_MARCH
+
+        hit_kw = (
+            {
+                "tables": prim_tables,
+                "tables_are_refs": tables_are_refs,
+                "cull_mask": march,
+                "cull_slack": cfg.clip_max * 1e-5,
+            }
+            if cfg.looped_sweep
+            else {}
+        )
+        hit_fn = nearest_hit_looped if cfg.looped_sweep else nearest_hit
+        # march clip for every lane: frozen lanes' hits are never applied
+        hit = hit_fn(
+            s.org, s.dir, 0.0, cfg.volume_step * jnp.ones(B), scn,
+            march=march, last_sphere=s.last_sph,
+            carry_rough=cfg.has_metallic or cfg.has_glass,
+            carry_ior=cfg.has_glass,
+            carry_volumes=True,
+            **hit_kw,
+        )
+        vol_pending = None
+        if vol_grid_t is not None and _volume.VOL_FETCH_OVERLAP:
+            vol_pending = _volume.density_fetch_begin(
+                scn, hit, nearest=cfg.vol_nearest, grid_t=vol_grid_t
+            )
+
+        miss = march & ~hit.valid
+        vol = march & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
+        # march lane hit a plain surface: freeze, shade next full iteration
+        advancing = miss | vol
+
+        sid = sample_id(jnp.maximum(s.sample, 0))
+        u = lane_uniforms(key, sid, s.path_step, 4)
+        env_color, env_alb, env_nrm, env_dep = _env_terms(
+            scn, s.dir, cfg.clip_max
+        )
+        rad = s.rad + V3.where(miss, s.thr * env_color, zv)
+
+        vs = volume_shade(s.dir, hit, scn, u, cfg.volume_step,
+                          nearest=cfg.vol_nearest, grid_t=vol_grid_t,
+                          pending=vol_pending)
+        thr = V3.where(vol & vs.scattered, s.thr * vs.weight, s.thr)
+        new_org = V3.where(vol, vs.origin, s.org)
+        new_dir = V3.where(vol, vs.direction, s.dir)
+
+        vol_exit = vol & (hit.face == FACE_VOLUME_BACK)
+        vol_march = vol & (hit.face != FACE_VOLUME_BACK)
+        miss_i = miss.astype(jnp.int32)
+        vol_exit_i = vol_exit.astype(jnp.int32)
+        vol_march_i = vol_march.astype(jnp.int32)
+        # frozen lanes keep their mode; miss -> DEAD, exit -> SURFACE,
+        # continue -> MARCH (identity for the frozen march-surface case)
+        mode = (
+            mode * (1 - miss_i - vol_exit_i - vol_march_i)
+            + MODE_SURFACE * vol_exit_i
+            + MODE_MARCH * vol_march_i
+        )
+        bounce = s.bounce + vol_exit_i
+        vbounce = (
+            s.vbounce * (1 - vol_march_i)
+            + (jnp.where(march, s.vbounce + 1, 1)) * vol_march_i
+        )
+        last_sph = s.last_sph * (1 - vol_march_i) + hit.sphere_row * vol_march_i
+
+        if cfg.want_aovs:
+            vol_claim = vol & vs.scattered
+            claim_alb = V3.where(vol_claim, zv + 0.8, env_alb)
+            claim_nrm = V3.where(vol_claim, hit.normal, env_nrm)
+            claim_dep = jnp.where(vol_claim, hit.t, env_dep)
+            claim = (miss | vol_claim) & (s.aov_open != 0)
+
+        adv_i = advancing.astype(jnp.int32)
+        return s._replace(
+            it=s.it + 1,
+            path_step=s.path_step + adv_i,
+            org=new_org,
+            dir=new_dir,
+            thr=thr,
+            rad=rad,
+            bounce=bounce,
+            vbounce=vbounce,
+            mode=mode,
+            last_sph=last_sph,
+            aov_open=(
+                s.aov_open * (1 - claim.astype(jnp.int32))
+                if cfg.want_aovs else s.aov_open
+            ),
+            aov_alb=(V3.where(claim, claim_alb, s.aov_alb)
+                     if cfg.want_aovs else s.aov_alb),
+            aov_nrm=(V3.where(claim, claim_nrm, s.aov_nrm)
+                     if cfg.want_aovs else s.aov_nrm),
+            aov_dep=(jnp.where(claim, claim_dep, s.aov_dep)
+                     if cfg.want_aovs else s.aov_dep),
+            rays=s.rays + adv_i.astype(jnp.float32),
         )
 
     def outer_body(s: _State) -> _State:
@@ -719,7 +879,21 @@ def trace_core(
         # statically-unrolled group of one regen + k-1 no-regen iterations
         # (total unrolled bodies per fori step stays pending_check).
         k = cfg.regen_every
-        if k > 1:
+        m = cfg.march_every
+        if m > 1:
+            # one full iteration (with regen), then m-1 march-specialized
+            # iterations; bit-identical to the unsplit schedule (see
+            # body_march)
+            def group_m(ss):
+                ss = body(ss, True)
+                for _ in range(m - 1):
+                    ss = body_march(ss)
+                return ss
+
+            s = jax.lax.fori_loop(
+                0, max(cfg.pending_check // m, 1), lambda _, ss: group_m(ss), s
+            )
+        elif k > 1:
             def group(ss):
                 ss = body(ss, True)
                 for _ in range(k - 1):

@@ -78,6 +78,14 @@ def main() -> None:
         "rows32": dict(block_rows=32),
         "k1": dict(cfg_tweak={"regen_every": 1}),
         "k4": dict(cfg_tweak={"regen_every": 4}),
+        # march-iteration cadence (volume scenes; VERDICT r4 item 3):
+        # bit-identical by construction (tests/test_march_cadence.py).
+        # Compare against BOTH base (production regen cadence) and k1
+        # (the cadence requires regen_every=1, so k1 isolates the
+        # march-specialization effect from the regen change).
+        "m2": dict(cfg_tweak={"march_every": 2, "regen_every": 1}),
+        "m4": dict(cfg_tweak={"march_every": 4, "regen_every": 1}),
+        "m8": dict(cfg_tweak={"march_every": 8, "regen_every": 1}),
     }
     variants = [("base", {})] + [(v, catalog[v]) for v in names.split(",")]
 

@@ -110,6 +110,24 @@ def _stubs():
 
         return _V3(zf, zf, zf + 14.0), _V3(zf, zf, zf - 1.0)
 
+    import bendy_tpu.ops.volume as volume_mod
+    from bendy_tpu.ops.volume import VolumeShade
+
+    def stub_volume_shade(dir_in, hit, scn, u, step, nearest=False,
+                          grid_t=None, pending=None):
+        # live mixed scatter mask via rng slot 2; everything else passes
+        # through live lane values so downstream selects stay un-foldable
+        scattered = u[2] < 0.3
+        return VolumeShade(
+            scattered=scattered,
+            origin=hit.position,
+            direction=dir_in,
+            weight=hit.t * 0.0 + 0.8,
+        )
+
+    def stub_fetch_begin(scn, hit, nearest=False, grid_t=None):
+        return None  # volume_shade stub ignores pending anyway
+
     light = [
         (materials, "sample_light_point", stub_light_point),
         (materials, "sample_light_point_looped", stub_light_point),
@@ -123,12 +141,25 @@ def _stubs():
     ]
     rng = [(wavefront, "lane_uniforms", stub_uniforms)]
     camera = [(wavefront, "camera_ray", stub_camera)]
+    # the whole volume block: scattering decision + density lookup (incl.
+    # the dense-grid MXU fetch when vol_operand) — what a SURFACE-
+    # specialized iteration would drop
+    vol = [
+        (wavefront, "volume_shade", stub_volume_shade),
+        (volume_mod, "density_fetch_begin", stub_fetch_begin),
+    ]
     return {
         "light": light,
         "shade": shade,
         "sweep": sweep,
         "rng": rng,
         "camera": camera,
+        "volume": vol,
+        # what a MARCH-specialized iteration would drop (the VERDICT r4
+        # item-3 bound): the surface shade block incl. the diffuse
+        # next-event machinery. phase_frac(marchspec) x (march share of
+        # iterations) upper-bounds the mode-cadence win.
+        "marchspec": shade + light,
         "floor": shade + sweep + rng + camera,
     }
 
@@ -234,6 +265,52 @@ def probe(scene_name: str, phases=None, repeats: int = 5) -> dict:
     return out
 
 
+def march_share(scene_name: str, width=128, height=128, spp=8) -> float:
+    """March-mode share of alive lane-iterations (same paths both runs).
+
+    Toggles wavefront.RAYS_COUNT so the in-loop per-lane counter counts
+    MODE_MARCH lanes, re-jits trace_core fresh (module knobs don't key
+    the jit cache), and divides by the alive count from an identical-seed
+    run. This weights the `marchspec` phase bound: the mode-cadence win
+    cannot exceed phase_frac(marchspec) x march_share.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import bendy_tpu.ops.wavefront as wavefront
+    from bendy_tpu.render import Config, Renderer
+    from bendy_tpu.scene import load_scene
+    from bendy_tpu.utils.rng import render_key
+
+    if scene_name.startswith("prim_grid_"):
+        from bendy_tpu.models.prim_grid import build_prim_grid
+
+        scene = build_prim_grid(int(scene_name.split("_")[-1]))
+    else:
+        scene = load_scene(f"scenes/{scene_name}.json.gz")
+    cam_ref = scene.find_by_tag("camera")
+    scene.get_object(cam_ref).inner.aspect_ratio = width / height
+    r = Renderer(scene, Config(), use_pallas=False)
+    cam = r.camera_params(cam_ref)
+    cfg = r.trace_config(r.config, cam_ref)
+    B = width * height
+    pix = jnp.arange(B, dtype=jnp.uint32)
+    sub = jnp.zeros(B, jnp.uint32)
+    seed = int.from_bytes(os.urandom(4), "little")
+    key = render_key(jnp.uint32(seed), jnp.uint32(0))
+    statics = ("width", "height", "spp", "subsample", "cfg", "spp_total")
+    vals = {}
+    for knob in ("alive", "march"):
+        wavefront.RAYS_COUNT = knob
+        try:
+            fn = jax.jit(wavefront.trace_core, static_argnames=statics)
+            res = fn(r.arrays, cam, key, pix, sub, width, height, spp, 1, cfg)
+            vals[knob] = float(res.rays)
+        finally:
+            wavefront.RAYS_COUNT = "alive"
+    return vals["march"] / max(vals["alive"], 1.0)
+
+
 def main() -> None:
     scene = "cornell"
     if "--scene" in sys.argv:
@@ -244,6 +321,10 @@ def main() -> None:
     repeats = 5
     if "--repeats" in sys.argv:
         repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    if "--march-share" in sys.argv:
+        share = march_share(scene)
+        print(json.dumps({"scene": scene, "march_share": round(share, 4)}))
+        return
     res = probe(scene, phases, repeats)
     print(json.dumps({"scene": scene, "phases": res}))
 
