@@ -161,22 +161,31 @@ class TraceConfig(NamedTuple):
     #   derives it from the mass count (render.MASS_LOOP_THRESHOLD);
     #   the megakernel ships the table as an SMEM operand like the
     #   primitive tables.
-    march_every: int = 0  # static march-iteration cadence (0/1 = off): at
-    #   m >= 2 the loop interleaves ONE full iteration with m-1
-    #   MARCH-SPECIALIZED iterations compiled without the regen/camera
-    #   block, the surface-shade block (incl. the diffuse next-event
-    #   machinery and its extra pcg4d draw), and the surface bounce cap —
-    #   only MODE_MARCH lanes advance; surface/dead lanes freeze and
-    #   resume on the next full iteration. BIT-IDENTICAL to march_every=0
-    #   (gated: tests/test_march_cadence.py): a frozen lane's path_step
-    #   does not advance, so on resume it redraws the SAME uniforms and
-    #   recomputes the SAME hit the unsplit schedule would have used, and
-    #   a march lane that hits a plain surface inside its step freezes
-    #   (the full iteration re-runs that sweep and shades it
-    #   identically). Requires has_volumes, no geodesic, regen_every=1,
-    #   and march_every | pending_check. The win condition is
-    #   march-dominated iteration mixes (tools/phase_probe.py
-    #   --march-share weights the marchspec phase bound).
+    march_every: int = 0  # static EVENT-CLASS iteration cadence (0/1 =
+    #   off): at m >= 2 the loop interleaves ONE shade iteration with
+    #   m-1 march iterations, splitting the body by the EVENT a lane's
+    #   sweep produced rather than by lane mode:
+    #     march iteration — compiled without the regen/camera block, the
+    #       surface-shade block (incl. the diffuse next-event machinery
+    #       and its second pcg4d draw) and the surface bounce cap;
+    #       advances lanes whose event is a VOLUME event (march step OR
+    #       first entry) or a miss; lanes that hit a plain surface
+    #       freeze.
+    #     shade iteration — the full body with the volume block
+    #       compile-time ABSENT (no volume_shade, no density lookup/MXU
+    #       fetch): lanes with volume events freeze; everything else
+    #       (shade, miss, regen) advances.
+    #   BIT-IDENTICAL to march_every=0 (gated:
+    #   tests/test_march_cadence.py): a frozen lane's path_step does not
+    #   advance, so on resume it redraws the SAME uniforms and
+    #   recomputes the SAME hit the unsplit schedule would have used.
+    #   Requires has_volumes, no geodesic, regen_every=1, and
+    #   march_every | pending_check. Win condition (tools/phase_probe.py
+    #   --march-share + the marchspec/volume phase fractions): the
+    #   volume share of events weighted by what each specialized body
+    #   drops — on cloud the volume block is ~58% of the iteration wall
+    #   and volume events are ~72% of advances, so the ideal split runs
+    #   at ~0.76x the unsplit wall.
     block_cull: bool = False  # static: with looped_sweep in the MEGAKERNEL,
     #   ship per-fori-block bounding spheres (intersect.block_bounds) and
     #   skip whole primitive blocks no (alive) lane's feasible segment can
@@ -451,7 +460,7 @@ def trace_core(
     def cond(s: _State):
         return (s.it < cfg.max_iters(spp)) & (s.n_pending > 0)
 
-    def body(s: _State, do_regen: bool = True) -> _State:
+    def body(s: _State, do_regen: bool = True, freeze_vol: bool = False) -> _State:
         # === finalize dead paths, regenerate camera rays ===================
         # ``do_regen`` is STATIC: on a no-regen iteration (regen_every > 1)
         # the whole finalize+camera block is compile-time absent — dead
@@ -474,6 +483,7 @@ def trace_core(
                 s, acc_rad, acc_alb, acc_nrm, acc_dep, path_open, path_step,
                 sample, sid, org, dirv, thr, rad, bounce, vbounce, mode,
                 aov_open, aov_alb, aov_nrm, aov_dep, geo_steps, fresh,
+                freeze_vol=freeze_vol,
             )
         dead = s.mode == MODE_DEAD
         fin = dead & (s.path_open != 0)
@@ -523,12 +533,13 @@ def trace_core(
             s, acc_rad, acc_alb, acc_nrm, acc_dep, path_open, path_step,
             sample, sid, org, dirv, thr, rad, bounce, vbounce, mode,
             aov_open, aov_alb, aov_nrm, aov_dep, geo_steps, fresh,
+            freeze_vol=freeze_vol,
         )
 
     def _body_trace(s, acc_rad, acc_alb, acc_nrm, acc_dep, path_open,
                     path_step, sample, sid, org, dirv, thr, rad, bounce,
                     vbounce, mode, aov_open, aov_alb, aov_nrm, aov_dep,
-                    geo_steps, fresh) -> _State:
+                    geo_steps, fresh, freeze_vol=False) -> _State:
         # === bounce-cap kills at path entry (``tracer/mod.rs:323-325,352-354``)
         over_b = (mode == MODE_SURFACE) & (bounce > cfg.max_bounces)
         if cfg.has_volumes:
@@ -629,7 +640,8 @@ def trace_core(
         # VPU time under the ~2.5 us dot (ops/volume.VOL_FETCH_OVERLAP;
         # bit-identical to the inline fetch — same ops, moved apply)
         vol_pending = None
-        if cfg.has_volumes and vol_grid_t is not None and _volume.VOL_FETCH_OVERLAP:
+        if (cfg.has_volumes and not freeze_vol and vol_grid_t is not None
+                and _volume.VOL_FETCH_OVERLAP):
             vol_pending = _volume.density_fetch_begin(
                 scn, hit, nearest=cfg.vol_nearest, grid_t=vol_grid_t
             )
@@ -682,7 +694,17 @@ def trace_core(
             claim_dep = jnp.where(surf, sh.aov_depth, env_dep)
             claim = (surf | miss) & (aov_open != 0)
 
-        if cfg.has_volumes:
+        vol_i = None
+        if cfg.has_volumes and freeze_vol:
+            # shade iteration of the march_every cadence: volume events
+            # FREEZE (state untouched, path_step/rays held) and the whole
+            # volume block — volume_shade and its density lookup/MXU
+            # fetch — is compile-time absent; the next march iteration
+            # recomputes the identical sweep and applies it
+            vol = alive & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
+            vol_i = vol.astype(jnp.int32)
+            new_mode = new_mode + mode * vol_i
+        elif cfg.has_volumes:
             vol = alive & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
             # (a lax.cond skipping the dense-grid lookup for blocks with no
             # volume-event lanes was tried and reverted: Mosaic cannot
@@ -727,7 +749,7 @@ def trace_core(
             it=s.it + 1,
             n_pending=s.n_pending,  # refreshed every pending_check iters (outer)
             sample=sample,
-            path_step=path_step + 1,
+            path_step=path_step + (1 if vol_i is None else 1 - vol_i),
             path_open=path_open,
             org=new_org,
             dir=new_dir,
@@ -749,46 +771,57 @@ def trace_core(
             acc_alb=acc_alb,
             acc_nrm=acc_nrm,
             acc_dep=acc_dep,
-            rays=s.rays + (march if RAYS_COUNT == "march" else alive).astype(
-                jnp.float32
-            ),
+            rays=s.rays + (
+                march if RAYS_COUNT == "march"
+                else (alive & ~vol if vol_i is not None else alive)
+            ).astype(jnp.float32),
         )
 
     def body_march(s: _State) -> _State:
-        """March-specialized iteration (``cfg.march_every`` > 1).
+        """March iteration of the event-class cadence (``march_every`` > 1).
 
-        Advances MODE_MARCH lanes only; everything else freezes.
-        Compile-time absent vs the full body: the regen/camera block, the
-        surface bounce cap, shade_surface (incl. the diffuse next-event
-        machinery and its second pcg4d block: volume consumes u[0..3],
-        which a 4-slot draw reproduces bit-exactly), and the surf AOV
-        claim. A march lane that hits a plain SURFACE inside its step
-        also freezes — the next full iteration recomputes the identical
-        sweep (same org/dir/clip/path_step) and shades it with the same
-        uniforms, so the whole schedule is bit-identical to
-        march_every=0; only the iteration count changes.
+        Advances any alive lane whose event is a VOLUME event (march
+        step or first entry through a volume face) or a MISS; a lane
+        that hits a plain surface freezes and is shaded by the next
+        shade iteration, which recomputes the identical sweep (same
+        org/dir/clip/path_step) and draws the same uniforms. Compile-
+        time absent vs the full body: the regen/camera block,
+        shade_surface (incl. the diffuse next-event machinery and its
+        second pcg4d block: volume consumes u[0..3], which a 4-slot
+        draw reproduces bit-exactly), and the surf AOV claim — so the
+        schedule stays bit-identical to march_every=0; only the
+        iteration count changes. Both bounce caps stay: lanes of either
+        mode can advance (and die) here.
         """
         march0 = s.mode == MODE_MARCH
-        # volume-bounce cap kill at path entry (same path point as the
-        # full body's over_v; the dead lane folds on the next regen)
+        # BOTH bounce-cap kills at path entry (same path point as the
+        # full body's over_b/over_v: surface lanes can advance here via
+        # miss/volume-entry events, so an over-cap surface lane must die
+        # before contributing env radiance; the dead lane folds on the
+        # next regen)
         over_v = march0 & (s.vbounce > cfg.max_volume_bounces)
-        mode = s.mode * (1 - over_v.astype(jnp.int32))
+        over_s = (s.mode == MODE_SURFACE) & (s.bounce > cfg.max_bounces)
+        mode = s.mode * (1 - (over_v | over_s).astype(jnp.int32))
         march = mode == MODE_MARCH
+        alive = mode != MODE_DEAD
 
         hit_kw = (
             {
                 "tables": prim_tables,
                 "tables_are_refs": tables_are_refs,
-                "cull_mask": march,
+                "cull_mask": alive,
                 "cull_slack": cfg.clip_max * 1e-5,
             }
             if cfg.looped_sweep
             else {}
         )
         hit_fn = nearest_hit_looped if cfg.looped_sweep else nearest_hit
-        # march clip for every lane: frozen lanes' hits are never applied
+        # the full body's per-lane clips (march vs surface), so surface
+        # lanes' entry/miss events are found exactly as unsplit
+        cmin = jnp.where(march, 0.0, cfg.clip_min) * jnp.ones(B)
+        cmax = jnp.where(march, cfg.volume_step, cfg.clip_max) * jnp.ones(B)
         hit = hit_fn(
-            s.org, s.dir, 0.0, cfg.volume_step * jnp.ones(B), scn,
+            s.org, s.dir, cmin, cmax, scn,
             march=march, last_sphere=s.last_sph,
             carry_rough=cfg.has_metallic or cfg.has_glass,
             carry_ior=cfg.has_glass,
@@ -801,9 +834,9 @@ def trace_core(
                 scn, hit, nearest=cfg.vol_nearest, grid_t=vol_grid_t
             )
 
-        miss = march & ~hit.valid
-        vol = march & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
-        # march lane hit a plain surface: freeze, shade next full iteration
+        miss = alive & ~hit.valid
+        vol = alive & hit.valid & (hit.face >= 2) & (hit.vol_grid >= 0)
+        # lane hit a plain surface: freeze, shade next shade iteration
         advancing = miss | vol
 
         sid = sample_id(jnp.maximum(s.sample, 0))
@@ -881,11 +914,12 @@ def trace_core(
         k = cfg.regen_every
         m = cfg.march_every
         if m > 1:
-            # one full iteration (with regen), then m-1 march-specialized
-            # iterations; bit-identical to the unsplit schedule (see
-            # body_march)
+            # one SHADE iteration (regen + surface shade, volume events
+            # frozen and the volume block compile-time absent), then m-1
+            # MARCH iterations; bit-identical to the unsplit schedule
+            # (see body_march / the freeze_vol block in _body_trace)
             def group_m(ss):
-                ss = body(ss, True)
+                ss = body(ss, True, freeze_vol=True)
                 for _ in range(m - 1):
                     ss = body_march(ss)
                 return ss

@@ -265,7 +265,7 @@ def probe(scene_name: str, phases=None, repeats: int = 5) -> dict:
     return out
 
 
-def march_share(scene_name: str, width=128, height=128, spp=8) -> float:
+def march_share(scene_name: str, width=64, height=64, spp=4) -> float:
     """March-mode share of alive lane-iterations (same paths both runs).
 
     Toggles wavefront.RAYS_COUNT so the in-loop per-lane counter counts
@@ -293,18 +293,25 @@ def march_share(scene_name: str, width=128, height=128, spp=8) -> float:
     r = Renderer(scene, Config(), use_pallas=False)
     cam = r.camera_params(cam_ref)
     cfg = r.trace_config(r.config, cam_ref)
+    from bendy_tpu.ops.pallas_trace import make_pallas_tracer
+
+    del cam  # the kernel reads the packed camera
     B = width * height
     pix = jnp.arange(B, dtype=jnp.uint32)
     sub = jnp.zeros(B, jnp.uint32)
     seed = int.from_bytes(os.urandom(4), "little")
-    key = render_key(jnp.uint32(seed), jnp.uint32(0))
-    statics = ("width", "height", "spp", "subsample", "cfg", "spp_total")
     vals = {}
     for knob in ("alive", "march"):
         wavefront.RAYS_COUNT = knob
         try:
-            fn = jax.jit(wavefront.trace_core, static_argnames=statics)
-            res = fn(r.arrays, cam, key, pix, sub, width, height, spp, 1, cfg)
+            # the production megakernel, built FRESH per knob (the build
+            # re-traces trace_core, so the module knob takes effect; the
+            # dense-grid XLA fallback path is pathologically slow and is
+            # not what production runs anyway)
+            kern = make_pallas_tracer(r.arrays, width, height, spp, 1, cfg,
+                                      vol_operand=r.vol_operand())
+            res = kern(r._cam_packed, jnp.uint32(seed), jnp.uint32(0),
+                       pix, sub)
             vals[knob] = float(res.rays)
         finally:
             wavefront.RAYS_COUNT = "alive"
