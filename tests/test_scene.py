@@ -54,6 +54,46 @@ def test_load_bundled(path):
     compile_scene(scene)
 
 
+def test_bundled_scene_hygiene():
+    """A scene committed to scenes/ must be wired end to end: present in
+    tools/fidelity.py's FIDELITY_SCENES table AND carrying an entry in
+    docs/fidelity.json (VERDICT r4 item 7 — a showcase scene must not
+    ship half-wired again). Fails fast in the smoke tier."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "fidelity_tool", os.path.join(root, "tools", "fidelity.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    bundled = {
+        os.path.basename(p)[: -len(".json.gz")] for p in SCENES
+    }
+    assert bundled == set(mod.FIDELITY_SCENES), (
+        "scenes/ and tools/fidelity.py FIDELITY_SCENES disagree: "
+        f"only in scenes/: {bundled - set(mod.FIDELITY_SCENES)}, "
+        f"only in the table: {set(mod.FIDELITY_SCENES) - bundled}"
+    )
+
+    with open(os.path.join(root, "docs", "fidelity.json")) as f:
+        fid = json.load(f)
+    missing = bundled - set(fid)
+    assert not missing, (
+        f"bundled scenes missing a docs/fidelity.json entry: {missing} "
+        "(run: python3 tools/fidelity.py --scenes <name>)"
+    )
+    for name in bundled:
+        entry = fid[name]
+        assert entry, f"{name}: empty fidelity entry"
+        import math
+
+        for k, v in entry.items():
+            assert math.isfinite(v["mse"]), (name, k, v)
+
+
 @pytest.mark.parametrize("path", SCENES)
 def test_roundtrip_bundled(path):
     """load -> dump -> load preserves the full graph (value-level)."""
