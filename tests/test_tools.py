@@ -58,7 +58,8 @@ def test_phase_probe_stubs_bind():
     from phase_probe import _stubs
 
     tables = _stubs()
-    assert set(tables) == {"light", "shade", "sweep", "rng", "camera", "floor"}
+    assert set(tables) == {"light", "shade", "sweep", "rng", "camera",
+                           "volume", "marchspec", "floor"}
     for phase, patches in tables.items():
         for mod, attr, repl in patches:
             assert callable(getattr(mod, attr)), (phase, attr)
