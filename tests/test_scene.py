@@ -94,6 +94,48 @@ def test_bundled_scene_hygiene():
             assert math.isfinite(v["mse"]), (name, k, v)
 
 
+def test_bundled_scene_bench_rows():
+    """Every bundled scene must map to a committed benches_results.json
+    row (its perf class), and that row must carry a finite median — the
+    round-4 drift was exactly two scenes shipping without bench rows.
+    The mapping is explicit: cuboid_light is cornell-class (flat
+    surfaces + area lights) and binary_blackhole is blackhole-class
+    (unrolled geodesic); every other scene has its own row."""
+    import math
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "benches_results.json")) as f:
+        rows = json.load(f)
+
+    scene_to_row = {
+        "cornell": "cornell",
+        "cornell2": "cornell2",
+        "scene": "scene",
+        "volume": "volume",
+        "cloud": "cloud",
+        "dense_cloud": "dense_cloud",
+        "cuboid_light": "cornell",  # flat surface + area-light class
+        "blackhole": "blackhole_geodesic",
+        "binary_blackhole": "blackhole_geodesic",  # unrolled geodesic class
+        "blackhole_cloud": "blackhole_cloud",
+        "cloud_field": "cloud_field_256_looped",
+        "mass_cluster": "mass_cluster_64_looped",
+    }
+    bundled = {os.path.basename(p)[: -len(".json.gz")] for p in SCENES}
+    unmapped = bundled - set(scene_to_row)
+    assert not unmapped, (
+        f"bundled scenes with no bench-row mapping: {unmapped} — add the "
+        "scene's perf class here and a row in bench.py --full"
+    )
+    for name, row_key in scene_to_row.items():
+        assert row_key in rows, (name, row_key, sorted(rows))
+        med = rows[row_key].get("mrays")
+        assert med is not None and math.isfinite(med) and med > 0, (
+            name, row_key, rows[row_key],
+        )
+
+
 @pytest.mark.parametrize("path", SCENES)
 def test_roundtrip_bundled(path):
     """load -> dump -> load preserves the full graph (value-level)."""
